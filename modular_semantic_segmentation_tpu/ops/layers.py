@@ -1,0 +1,271 @@
+"""Functional NN layers on JAX/XLA, matching the reference's TF1 semantics.
+
+Semantics locked to the reference (validated against tf.compat.v1 in
+tests/test_tf_parity.py):
+    * conv2d: SAME padding, optional conv -> batch-norm -> activation ordering
+      (reference xview/models/custom_layers.py:124-139).
+    * batch-norm: TF layers defaults momentum=0.99, epsilon=1e-3; training mode
+      uses batch stats and records moving-stat updates functionally.
+    * deconv2d: transposed conv with a FROZEN bilinear-interpolation kernel,
+      no bias (custom_layers.py:71-121). Kernel stored in the TF
+      conv2d_transpose layout [H, W, out, in] — the npz weight contract.
+    * adap_conv: progressive-nets adapter block (custom_layers.py:142-219).
+
+All layers read/create variables through :class:`..ops.variables.Ctx`, so the
+same function body serves init and apply; everything traces into one XLA
+program — no graph/session split.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modular_semantic_segmentation_tpu.ops import init as initializers
+
+# TF tf.layers.batch_normalization defaults.
+BN_MOMENTUM = 0.99
+BN_EPSILON = 1e-3
+
+
+def _pair(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(int(x) for x in v)
+    return (int(v), int(v))
+
+
+def batch_norm(ctx, x, name, trainable=True):
+    """TF1-style batch normalization over the channel (last) axis.
+
+    In training mode normalizes with batch statistics and records
+    moving-average updates in ``ctx.updates``; in eval mode uses the stored
+    moving statistics. Variables: ``<name>/{gamma,beta,moving_mean,
+    moving_variance}`` — same names TF layers produce, keeping npz
+    import/export compatible (reference base_model.py:361-393).
+    """
+    dim = x.shape[-1]
+    with ctx.scope(name):
+        gamma = ctx.get("gamma", (dim,), initializers.ones, trainable=trainable)
+        beta = ctx.get("beta", (dim,), initializers.zeros, trainable=trainable)
+        moving_mean = ctx.get("moving_mean", (dim,), initializers.zeros,
+                              trainable=False)
+        moving_var = ctx.get("moving_variance", (dim,), initializers.ones,
+                             trainable=False)
+        x32 = x.astype(jnp.float32)
+        if ctx.train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=axes)
+            # TF uses the biased variance estimate for normalization and for
+            # the moving average.
+            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            ctx.record_update(
+                "moving_mean",
+                BN_MOMENTUM * moving_mean + (1.0 - BN_MOMENTUM) * mean)
+            ctx.record_update(
+                "moving_variance",
+                BN_MOMENTUM * moving_var + (1.0 - BN_MOMENTUM) * var)
+        else:
+            mean, var = moving_mean, moving_var
+        inv = jax.lax.rsqrt(var + BN_EPSILON) * gamma
+        out = x32 * inv + (beta - mean * inv)
+    return out.astype(x.dtype)
+
+
+def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
+           activation=jax.nn.relu, use_bias=True, trainable=True,
+           batch_normalization=False, kernel_initializer=None, padding="same"):
+    """2-D convolution with optional post-conv batch-norm-then-activation.
+
+    Mirrors reference custom_layers.py:124-139: when batch_normalization is
+    on, the order is conv -> BN -> activation; otherwise conv(+bias) ->
+    activation. Kernel layout [H, W, in, out] (TF/HWIO — npz contract).
+    """
+    kh, kw = _pair(kernel_size)
+    strides = _pair(strides)
+    dilation = _pair(dilation_rate)
+    in_ch = int(x.shape[-1])
+    kernel_initializer = kernel_initializer or initializers.glorot_uniform
+    with ctx.scope(name):
+        kernel = ctx.get("kernel", (kh, kw, in_ch, int(filters)),
+                         kernel_initializer, trainable=trainable)
+        dtype = ctx.compute_dtype
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=strides,
+            padding=padding.upper(),
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        if use_bias:
+            bias = ctx.get("bias", (int(filters),), initializers.zeros,
+                           trainable=trainable)
+            out = out + bias
+    out = out.astype(dtype)
+    if batch_normalization:
+        out = batch_norm(ctx, out, name, trainable=trainable)
+        if activation is not None:
+            out = activation(out)
+    elif activation is not None:
+        out = activation(out)
+    return out
+
+
+def deconv2d(ctx, x, filters, kernel_size, name, strides=1, activation=None,
+             use_bias=False, trainable=False, batch_normalization=True,
+             padding="same"):
+    """Transposed convolution with a frozen bilinear-interpolation kernel.
+
+    The reference always freezes these kernels to bilinear upsampling
+    (custom_layers.py:71-121 + simple_fcn.py:80-83); we keep the kernel as a
+    real (non-trainable) variable so npz import/export round-trips. Kernel
+    layout [H, W, out, in] (TF conv2d_transpose convention).
+    """
+    kh, kw = _pair(kernel_size)
+    strides = _pair(strides)
+    in_ch = int(x.shape[-1])
+    with ctx.scope(name):
+        kernel = ctx.get("kernel", (kh, kw, int(filters), in_ch),
+                         initializers.bilinear_filter_initializer,
+                         trainable=trainable)
+        dtype = ctx.compute_dtype
+        # TF conv2d_transpose == gradient of a forward conv wrt its input;
+        # lax.conv_transpose(transpose_kernel=True) implements exactly that
+        # (spatial flip + I/O swap), with SAME giving out = in * stride. The
+        # [H, W, out, in] kernel is the forward conv's HWIO.
+        out = jax.lax.conv_transpose(
+            x.astype(dtype), kernel.astype(dtype),
+            strides=strides, padding=padding.upper(),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+            preferred_element_type=jnp.float32)
+        if use_bias:
+            bias = ctx.get("bias", (int(filters),), initializers.zeros,
+                           trainable=trainable)
+            out = out + bias
+    out = out.astype(dtype)
+    if batch_normalization:
+        out = batch_norm(ctx, out, name, trainable=trainable)
+        if activation is not None:
+            out = activation(out)
+    elif activation is not None:
+        out = activation(out)
+    return out
+
+
+def max_pool2d(ctx, x, pool_size, strides, name=None, padding="VALID"):
+    """Max pooling (TF layers default VALID padding)."""
+    ph, pw = _pair(pool_size)
+    sh, sw = _pair(strides)
+    neg_inf = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, neg_inf, jax.lax.max,
+        window_dimensions=(1, ph, pw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=padding)
+
+
+def dropout(ctx, x, rate, name=None, training=True):
+    """TF-style dropout: zero with prob ``rate``, scale kept by 1/(1-rate).
+
+    The reference's MC-dropout models run dropout with training=True even at
+    test time (simple_fcn.py:52, variance_mix.py:55); callers control that via
+    the ``training`` flag, independent of ctx.train.
+    """
+    if not training or rate == 0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(ctx.next_rng(), keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def adap_conv(ctx, x, adapter_inputs, filters, kernel_size, name="adap_conv",
+              extra_convolution=True, initial_scales=(1, 0.1),
+              initialize_half_zero=False, trainable=True,
+              activation=jax.nn.relu, **conv_kwargs):
+    """Progressive-networks adapter block (arXiv 1606.04671 eq. 2).
+
+    Per-column trainable scales -> optional 1x1 adapter conv -> concat with
+    the current column -> combination conv. Reference
+    custom_layers.py:142-219.
+    """
+    with ctx.scope(name):
+        with ctx.scope("adapter"):
+            scale = ctx.get("scale", (len(adapter_inputs),),
+                            initializers.selection(list(initial_scales)),
+                            trainable=trainable)
+            scaled = jnp.concatenate(
+                [scale[i] * adapter_inputs[i]
+                 for i in range(len(adapter_inputs))], axis=-1)
+            if extra_convolution:
+                adapter = conv2d(ctx, scaled, int(x.shape[-1]), (1, 1),
+                                 name="adapter", trainable=trainable,
+                                 activation=activation)
+            else:
+                adapter = scaled
+        together = jnp.concatenate([x, adapter], axis=-1)
+        kernel_init = (initializers.half_zeros() if initialize_half_zero
+                       else None)
+        out = conv2d(ctx, together, filters, kernel_size, name="combination",
+                     trainable=trainable, activation=activation,
+                     kernel_initializer=kernel_init, **conv_kwargs)
+    return out
+
+
+def log_softmax(x, axis=-1):
+    """Numerically-stable log-softmax (reference custom_layers.py:222-236)."""
+    m = jnp.max(x, axis=axis, keepdims=True)
+    d = x - m
+    return d - jnp.log(jnp.sum(jnp.exp(d), axis=axis, keepdims=True))
+
+
+def softmax(x, temperature=1.0, axis=-1):
+    """Temperature-scaled softmax (reference custom_layers.py:239-248)."""
+    scaled = x / temperature
+    m = jnp.max(scaled, axis=axis, keepdims=True)
+    e = jnp.exp(scaled - m)
+    return e / jnp.sum(e, axis=axis, keepdims=True)
+
+
+def entropy(x, axis=-1):
+    """Entropy normalized by log(num classes) (custom_layers.py:251-256)."""
+    h = -jnp.sum(x * jnp.log(jnp.clip(x, 1e-10, 1.0)), axis=axis)
+    return h / jnp.log(float(x.shape[axis]))
+
+
+def max_pool_with_argmax(x, pool_size=2, strides=2):
+    """Max pool returning TF-convention flattened argmax indices
+    (index into the flattened [H*W*C] per-batch-item tensor)."""
+    n, h, w, c = x.shape
+    flat_idx = (jnp.arange(h * w).reshape(1, h, w, 1) * c +
+                jnp.arange(c).reshape(1, 1, 1, c))
+    flat_idx = jnp.broadcast_to(flat_idx, x.shape)
+
+    def reducer(a, b):
+        av, ai = a
+        bv, bi = b
+        take_b = bv > av
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+
+    neg_inf = jnp.finfo(x.dtype).min
+    pooled, idx = jax.lax.reduce_window(
+        (x, flat_idx), (neg_inf, jnp.int32(0)), reducer,
+        window_dimensions=(1, pool_size, pool_size, 1),
+        window_strides=(1, strides, strides, 1), padding="VALID")
+    return pooled, idx
+
+
+def unpool_2d(pool, ind, stride=2):
+    """Scatter-based max unpooling (reference custom_layers.py:259-301).
+
+    Args:
+        pool: pooled tensor [N, H, W, C].
+        ind: flattened argmax indices as from :func:`max_pool_with_argmax`.
+        stride: upsampling factor.
+    """
+    n, h, w, c = pool.shape
+    out_flat = jnp.zeros((n, h * stride * w * stride * c), pool.dtype)
+    pool_flat = pool.reshape(n, -1)
+    ind_flat = ind.reshape(n, -1)
+    out_flat = jax.vmap(lambda o, i, p: o.at[i].set(p))(
+        out_flat, ind_flat, pool_flat)
+    return out_flat.reshape(n, h * stride, w * stride, c)
