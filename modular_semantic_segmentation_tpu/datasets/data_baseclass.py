@@ -1,0 +1,150 @@
+"""Dataset base class + lazy DataSource.
+
+Same split/contract semantics as the reference
+(xview/datasets/data_baseclass.py): trainset/measureset/testset item lists,
+an automatic 15-item validation split with the reference's fixed seed,
+``get_data_description()`` usable before instantiation, per-modality blob
+dicts, 16-multiple cropping.
+
+Instead of tf.data generators the accessors return :class:`DataSource` — a
+lazy, picklable view over an item list that produces NumPy batch dicts; the
+Estimator wraps it with device prefetch (utils/data_io.py).
+"""
+
+import numpy as np
+from random import shuffle
+from sklearn.model_selection import train_test_split
+
+from modular_semantic_segmentation_tpu.datasets.augmentation import \
+    crop_multiple
+from modular_semantic_segmentation_tpu.datasets.wrapper import DataWrapper
+
+# Reference's fixed validation-split seed (data_baseclass.py:18).
+VALIDATION_SPLIT_SEED = 317243896
+
+
+class DataSource:
+    """Lazy view over a list of dataset items, yielding batch dicts."""
+
+    def __init__(self, dataset, items, training_format=False):
+        self._dataset = dataset
+        self._items = list(items)
+        self._training_format = training_format
+        self.modalities = dataset.modalities
+
+    def __len__(self):
+        return len(self._items)
+
+    def get_blob(self, idx):
+        data = self._dataset._get_data(
+            training_format=self._training_format, **self._items[idx])
+        for m in self.modalities:
+            data[m] = crop_multiple(data[m])
+        return data
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.get_blob(i)
+
+    def stack(self, blobs):
+        batch = {}
+        for m in self.modalities:
+            batch[m] = np.stack([b[m] for b in blobs]).astype(
+                "int32" if m == "labels" else "float32")
+        return batch
+
+    def batches(self, batchsize, shuffle=False, repeat=False, seed=None):
+        rng = np.random.RandomState(seed)
+        while True:
+            order = np.arange(len(self))
+            if shuffle:
+                rng.shuffle(order)
+            for start in range(0, len(order), batchsize):
+                idxs = order[start:start + batchsize]
+                if repeat and len(idxs) < batchsize:
+                    # top up from the start so training batches stay full
+                    idxs = np.concatenate([idxs, order[:batchsize - len(idxs)]])
+                yield self.stack([self.get_blob(i) for i in idxs])
+            if not repeat:
+                return
+
+    def as_dict(self):
+        """Whole set as one stacked dict (the reference's tf_dataset=False)."""
+        return self.stack([self.get_blob(i) for i in range(len(self))])
+
+
+class DataBaseclass(DataWrapper):
+    """A basic, abstract class for splitting data into train/measure/test/
+    validation sets, compliant with the DataWrapper interface."""
+
+    def __init__(self, trainset, measureset, testset, labelinfo,
+                 validation_set=None, num_classes=None, info=False):
+        if validation_set is None and len(trainset) > 15:
+            self.trainset, self.validation_set = train_test_split(
+                trainset, test_size=15, random_state=VALIDATION_SPLIT_SEED)
+        elif validation_set is None:
+            self.trainset, self.validation_set = list(trainset), list(trainset)
+        else:
+            self.trainset = list(trainset)
+            self.validation_set = list(validation_set)
+        self.measureset = measureset
+        self.testset = testset
+        self.num_classes = (num_classes if num_classes is not None
+                            else self._num_default_classes)
+        self.modalities = list(self._data_shape_description.keys())
+        self.labelinfo = labelinfo
+        self.print_info = info
+        shuffle(self.trainset)
+
+    @classmethod
+    def get_data_description(cls, num_classes=None):
+        """(dtypes dict, shapes dict, num classes) — consumable before the
+        dataset object exists (reference data_baseclass.py:33-55)."""
+        shapes = cls._data_shape_description
+        modalities = list(shapes.keys())
+        if num_classes is None:
+            num_classes = cls._num_default_classes
+        dtypes = {"labels": np.int32,
+                  **{m: np.float32 for m in modalities if m != "labels"}}
+        return (dtypes, shapes, num_classes)
+
+    def _get_data(self, **kwargs):
+        """Return the data blob for one item; kwargs is the unfolded item
+        dict plus training_format."""
+        raise NotImplementedError
+
+    # -------------------------------------------------------- set accessors
+    def _source(self, setlist, training_format=False):
+        return DataSource(self, setlist, training_format=training_format)
+
+    def get_trainset(self, tf_dataset=True, training_format=True):
+        src = self._source(self.trainset, training_format=training_format)
+        return src if tf_dataset else src.as_dict()
+
+    def get_testset(self, num_items=None, tf_dataset=True):
+        items = self.testset[:num_items] if num_items else self.testset
+        src = self._source(items)
+        return src if tf_dataset else src.as_dict()
+
+    def get_measureset(self, tf_dataset=True):
+        src = self._source(self.measureset)
+        return src if tf_dataset else src.as_dict()
+
+    def get_validation_set(self, num_items=None, tf_dataset=True):
+        items = (self.validation_set[:num_items] if num_items
+                 else self.validation_set)
+        src = self._source(items)
+        return src if tf_dataset else src.as_dict()
+
+    def next(self):
+        """DataWrapper interface: a random training batch of one item."""
+        src = self.get_trainset()
+        return src.stack([src.get_blob(np.random.randint(len(src)))])
+
+    def coloured_labels(self, labels):
+        """Colorize a label map via the labelinfo LUT
+        (reference data_baseclass.py:121-126)."""
+        lookup = np.array([self.labelinfo[i]["color"]
+                           for i in range(max(self.labelinfo.keys()) + 1)]
+                          ).astype(int)
+        return np.array(lookup[labels[:]]).astype("uint8")

@@ -1,0 +1,306 @@
+"""Estimator — the framework kernel (TPU-native BaseModel equivalent).
+
+Replaces the reference's graph/session god-class
+(xview/models/base_model.py:51-451) with a functional runtime:
+
+    * variables are a flat pytree dict; train/eval steps are jitted pure
+      functions (optionally pjit-sharded over a Mesh — see parallel/);
+    * the twin train/test pipelines with shared weights become two traces of
+      the same network function with ``ctx.train`` flipped — no tf.AUTO_REUSE;
+    * the confusion matrix is accumulated ON DEVICE across eval batches, one
+      transfer at the end (vs per-batch host sync in base_model.py:308-313);
+    * batch-norm moving stats update functionally (no UPDATE_OPS);
+    * partial final batches are padded with ignore-labels (-1) so every XLA
+      program has a static shape — no recompiles, no OutOfRangeError dance.
+
+Public API preserved (reference README.md:60-87): fit / predict / score /
+load_weights / import_weights / export_weights / close, context manager.
+
+Subclass contract:
+    _train_outputs(ctx, batch) -> dict with 'loss'   (labels arrive one-hot)
+    _test_outputs(ctx, batch)  -> dict with 'prediction' (+ 'prob', ...)
+An eval-only model (custom_training=True) only needs _test_outputs.
+"""
+
+import json
+import pickle
+import time
+from os import path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from modular_semantic_segmentation_tpu.ops.variables import (
+    Ctx, init_variables, split_trainable)
+from modular_semantic_segmentation_tpu.ops import metrics as metrics_lib
+from modular_semantic_segmentation_tpu.models import params as params_lib
+from modular_semantic_segmentation_tpu.utils.data_io import (
+    iterate_batches, training_batches, to_device_prefetched)
+
+
+def _make_optimizer(name, learning_rate):
+    """Optimizer registry (reference base_model.py:157-162)."""
+    optimizers = {
+        "adagrad": lambda lr: optax.adagrad(lr),
+        "adam": lambda lr: optax.adam(lr),
+        "rmsprop": lambda lr: optax.rmsprop(lr, decay=0.9),
+    }
+    return optimizers[name](learning_rate)
+
+
+class Estimator:
+    """Base class for all models. See module docstring."""
+
+    def __init__(self, data_description, name=None, output_dir=None,
+                 custom_training=False, batchsize=1, compute_dtype="float32",
+                 **config):
+        self.name = name if name is not None else type(self).__name__
+        self.output_dir = output_dir
+        self.custom_training = custom_training
+        self.config = config
+        self.config["batchsize"] = batchsize
+        self.config["num_classes"] = data_description[2]
+        self.data_description = data_description
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" \
+            else jnp.float32
+        self.global_step = 0
+        self._closed = False
+
+        self._rng = jax.random.PRNGKey(int(config.get("seed", 0)))
+        self._build()
+
+        if not self.custom_training:
+            self._optimizer = _make_optimizer(
+                self.config.get("trainer", "adam"),
+                self.config.get("learning_rate", 0.0001))
+            train_vars, _ = split_trainable(self.variables, self.trainable)
+            self.opt_state = self._optimizer.init(
+                {k: jnp.asarray(v) for k, v in train_vars.items()})
+        else:
+            self._optimizer = None
+            self.opt_state = None
+
+        self._jit_train_step = jax.jit(self._train_step)
+        self._jit_eval_step = jax.jit(self._eval_step, static_argnames=())
+
+    # ------------------------------------------------------------------ build
+    def _example_batch(self, batchsize=1, spatial=(32, 32)):
+        """Tiny concrete batch from the data description, for init tracing."""
+        dtypes, shapes, num_classes = self.data_description
+        batch = {}
+        for modality, shape in shapes.items():
+            shape = [batchsize] + [
+                (spatial[i] if i < 2 and (s is None) else s)
+                for i, s in enumerate(shape)]
+            shape = [s if s is not None else spatial[0] for s in shape]
+            if modality == "labels":
+                batch[modality] = jnp.zeros(shape, jnp.int32)
+            else:
+                batch[modality] = jnp.zeros(shape, jnp.float32)
+        if "labels" in batch:
+            batch["labels_onehot"] = jax.nn.one_hot(
+                batch["labels"], num_classes, dtype=jnp.float32)
+        return batch
+
+    def _build(self):
+        """Initialize all variables by tracing the train and test networks."""
+        example = self._example_batch()
+
+        def both(ctx, batch):
+            if not self.custom_training:
+                train_batch = dict(batch)
+                train_batch["labels"] = batch.get("labels_onehot")
+                ctx.train = True
+                self._train_outputs(ctx, train_batch)
+            ctx.train = False
+            self._test_outputs(ctx, batch)
+
+        self._rng, init_rng = jax.random.split(self._rng)
+        self.variables, self.trainable = init_variables(
+            both, init_rng, example, compute_dtype=self.compute_dtype)
+
+    # ------------------------------------------------------------- contracts
+    def _train_outputs(self, ctx, batch):
+        raise NotImplementedError
+
+    def _test_outputs(self, ctx, batch):
+        raise NotImplementedError
+
+    # ----------------------------------------------------------------- steps
+    def _train_step(self, variables, opt_state, batch, rng):
+        num_classes = self.config["num_classes"]
+        train_batch = dict(batch)
+        train_batch["labels"] = jax.nn.one_hot(
+            batch["labels"], num_classes, dtype=jnp.float32)
+        train_vars, frozen_vars = split_trainable(variables, self.trainable)
+
+        def loss_fn(tvars):
+            ctx = Ctx({**frozen_vars, **tvars}, train=True, rng=rng,
+                      compute_dtype=self.compute_dtype)
+            out = self._train_outputs(ctx, train_batch)
+            return out["loss"], ctx.updates
+
+        (loss, bn_updates), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(train_vars)
+        updates, opt_state = self._optimizer.update(grads, opt_state,
+                                                    train_vars)
+        train_vars = optax.apply_updates(train_vars, updates)
+        new_vars = {**variables, **train_vars, **bn_updates}
+        return new_vars, opt_state, loss
+
+    def _eval_step(self, variables, batch, rng):
+        ctx = Ctx(variables, train=False, rng=rng,
+                  compute_dtype=self.compute_dtype)
+        out = self._test_outputs(ctx, batch)
+        if "labels" in batch:
+            out["confusion_matrix"] = metrics_lib.confusion_matrix(
+                out["prediction"], batch["labels"],
+                self.config["num_classes"])
+        return out
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, data, iterations, output=True, validation_dataset=None,
+            validation_interval=100, additional_eval_datasets=None):
+        """Train for ``iterations`` steps (reference base_model.py:179-261).
+
+        Args:
+            data: a DataSource (from dataset.get_trainset()), a dict of
+                arrays, or an iterator of batch dicts.
+            validation_dataset: scored every ``validation_interval`` steps.
+        """
+        if self.custom_training:
+            raise UserWarning(
+                f"ERROR: Model {self.name} does not support training")
+        additional_eval_datasets = additional_eval_datasets or {}
+        batches = training_batches(data, self.config["batchsize"])
+        batches = to_device_prefetched(batches)
+
+        summary_file = None
+        if self.output_dir is not None:
+            summary_file = open(path.join(self.output_dir, "summaries.jsonl"),
+                                "a")
+        print("INFO: Start training")
+        start = time.time()
+        for i in range(iterations):
+            batch = next(batches)
+            self.variables, self.opt_state, loss = self._jit_train_step(
+                self.variables, self.opt_state, batch, self._next_rng())
+            self.global_step += 1
+            if i % validation_interval == 0 and validation_dataset is not None:
+                score, _ = self.score(validation_dataset)
+                if output:
+                    print("{:4d}: loss {:.4f}, accuracy {:.2f}, IoU {:.2f}"
+                          .format(i, float(loss), score["total_accuracy"],
+                                  score["mean_IoU"]))
+                record = {"step": self.global_step, "loss": float(loss),
+                          "accuracy": float(score["total_accuracy"]),
+                          "IoU": float(score["mean_IoU"]),
+                          "wall_time": time.time() - start}
+                for key, extra_data in additional_eval_datasets.items():
+                    record[key] = float(self.score(extra_data)[0]["mean_IoU"])
+                if summary_file is not None:
+                    summary_file.write(json.dumps(record) + "\n")
+                    summary_file.flush()
+                if "abort_at_iou" in self.config and \
+                        score["mean_IoU"] > self.config["abort_at_iou"]:
+                    break
+        if summary_file is not None:
+            summary_file.close()
+        print("INFO: Training finished.")
+
+    # --------------------------------------------------------------- predict
+    def predict(self, data, output_attr=None):
+        """Per-pixel classification for the input data
+        (reference base_model.py:263-292)."""
+        attr = output_attr or "prediction"
+        outputs = []
+        for batch, valid in iterate_batches(data, self.config["batchsize"],
+                                            pad=True):
+            out = self._jit_eval_step(self.variables, batch, self._next_rng())
+            value = out[attr] if attr in out else getattr(self, attr)
+            outputs.append(np.asarray(value)[:valid])
+        return np.concatenate(outputs)
+
+    # ----------------------------------------------------------------- score
+    def score(self, data, max_iterations=None):
+        """Confusion-matrix metric suite (reference base_model.py:294-331).
+
+        Returns (measures dict, confusion matrix)."""
+        num_classes = self.config["num_classes"]
+        total = jnp.zeros((num_classes, num_classes), jnp.float32)
+        count = 0
+        for batch, valid in iterate_batches(data, self.config["batchsize"],
+                                            pad=True, pad_label=-1):
+            out = self._jit_eval_step(self.variables, batch, self._next_rng())
+            total = total + out["confusion_matrix"]
+            count += 1
+            if max_iterations is not None and count >= max_iterations:
+                break
+        confusion = np.asarray(total)
+        measures = metrics_lib.measures_from_confusion_matrix(confusion)
+        return measures, confusion
+
+    # ------------------------------------------------------------- weight IO
+    def export_weights(self, save_dir=None):
+        out_dir = save_dir or self.output_dir
+        if out_dir is None:
+            print("ERROR: No path specified to save weights to.")
+            return None
+        store = {k: np.asarray(v) for k, v in self.variables.items()}
+        store["global_step"] = np.asarray(self.global_step)
+        return params_lib.export_weights(store, out_dir, self.name,
+                                         self.global_step)
+
+    def import_weights(self, filepath, translate_prefix=False,
+                       chill_mode=False, warnings=True):
+        self.variables, report = params_lib.import_weights(
+            self.variables, filepath, translate_prefix=translate_prefix,
+            chill_mode=chill_mode, warnings=warnings)
+        return report
+
+    def load_weights(self, filepath):
+        """Restore a full checkpoint (weights [+ optimizer state + step])."""
+        if filepath.endswith(".npz"):
+            self.import_weights(filepath, warnings=False)
+            return
+        with open(filepath, "rb") as f:
+            state = pickle.load(f)
+        self.variables = {k: np.asarray(v)
+                          for k, v in state["variables"].items()}
+        self.global_step = int(state.get("global_step", 0))
+        if state.get("opt_state") is not None and self.opt_state is not None:
+            leaves, _ = jax.tree_util.tree_flatten(self.opt_state)
+            treedef = jax.tree_util.tree_structure(self.opt_state)
+            self.opt_state = jax.tree_util.tree_unflatten(
+                treedef, [np.asarray(x) for x in state["opt_state"]])
+
+    def save_checkpoint(self, filepath):
+        """Periodic checkpoint incl. optimizer state, for resume-from-step
+        (the reference has none — SURVEY.md §5 failure detection)."""
+        state = {
+            "variables": {k: np.asarray(v) for k, v in self.variables.items()},
+            "global_step": self.global_step,
+            "opt_state": None if self.opt_state is None else [
+                np.asarray(x)
+                for x in jax.tree_util.tree_flatten(self.opt_state)[0]],
+        }
+        with open(filepath, "wb") as f:
+            pickle.dump(state, f)
+        return filepath
+
+    # ----------------------------------------------------------- API parity
+    def close(self):
+        """No session to close — kept for API parity."""
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()

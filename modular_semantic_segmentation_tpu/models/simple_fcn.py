@@ -1,0 +1,152 @@
+"""SimpleFCN — VGG16-based fully-convolutional segmentation expert.
+
+Architecture per the reference (xview/models/simple_fcn.py, "DA-RNN" style):
+VGG16 conv stack, 1x1 score convs on conv4_3 and conv5_3, frozen 4x4/stride-2
+bilinear deconv on score_conv5, elementwise add -> 'fused' skip feature;
+decoder = frozen 16x16/stride-8 bilinear deconv + 1x1 class score conv.
+
+``encoder``/``decoder``/``fcn`` are plain functions returning layer dicts so
+fusion models can build expert networks without expert model objects
+(reference README.md:85-87, basic_fusion_model.py:9-23).
+"""
+
+import jax
+
+from modular_semantic_segmentation_tpu.ops import layers as ll
+from modular_semantic_segmentation_tpu.ops.losses import cross_entropy
+from modular_semantic_segmentation_tpu.models.estimator import Estimator
+
+
+def encoder(ctx, inputs, prefix, num_units, dropout_rate=0.0, trainable=True,
+            batchnorm=True, dropout_layers=()):
+    """VGG16 image encoder with fusion of conv4_3 and conv5_3 features
+    (reference simple_fcn.py:10-87). Returns dict of layer outputs; the
+    encoding has key 'fused'."""
+    params = {"trainable": trainable, "batch_normalization": batchnorm,
+              "activation": jax.nn.relu}
+    with ctx.scope(prefix):
+        l = {}
+        l["conv1_1"] = ll.conv2d(ctx, inputs, 64, 3, "conv1_1", **params)
+        l["conv1_2"] = ll.conv2d(ctx, l["conv1_1"], 64, 3, "conv1_2", **params)
+        l["pool1"] = ll.max_pool2d(ctx, l["conv1_2"], 2, 2)
+        l["conv2_1"] = ll.conv2d(ctx, l["pool1"], 128, 3, "conv2_1", **params)
+        l["conv2_2"] = ll.conv2d(ctx, l["conv2_1"], 128, 3, "conv2_2",
+                                 **params)
+        l["pool2"] = ll.max_pool2d(ctx, l["conv2_2"], 2, 2)
+        l["conv3_1"] = ll.conv2d(ctx, l["pool2"], 256, 3, "conv3_1", **params)
+        l["conv3_2"] = ll.conv2d(ctx, l["conv3_1"], 256, 3, "conv3_2",
+                                 **params)
+        l["conv3_3"] = ll.conv2d(ctx, l["conv3_2"], 256, 3, "conv3_3",
+                                 **params)
+        l["pool3"] = ll.max_pool2d(ctx, l["conv3_3"], 2, 2)
+        last_layer = l["pool3"]
+        # MC-dropout after pool3/pool4 runs with training=True always
+        # (reference simple_fcn.py:49-64).
+        if "pool3" in dropout_layers:
+            l["pool3_drop"] = ll.dropout(ctx, l["pool3"], dropout_rate)
+            last_layer = l["pool3_drop"]
+        l["conv4_1"] = ll.conv2d(ctx, last_layer, 512, 3, "conv4_1", **params)
+        l["conv4_2"] = ll.conv2d(ctx, l["conv4_1"], 512, 3, "conv4_2",
+                                 **params)
+        l["conv4_3"] = ll.conv2d(ctx, l["conv4_2"], 512, 3, "conv4_3",
+                                 **params)
+        l["pool4"] = ll.max_pool2d(ctx, l["conv4_3"], 2, 2)
+        last_layer = l["pool4"]
+        # quirk kept: the reference gates pool4 dropout on 'pool3' too
+        # (simple_fcn.py:61)
+        if "pool3" in dropout_layers:
+            l["pool4_drop"] = ll.dropout(ctx, l["pool4"], dropout_rate)
+            last_layer = l["pool4_drop"]
+        l["conv5_1"] = ll.conv2d(ctx, last_layer, 512, 3, "conv5_1", **params)
+        l["conv5_2"] = ll.conv2d(ctx, l["conv5_1"], 512, 3, "conv5_2",
+                                 **params)
+        l["conv5_3"] = ll.conv2d(ctx, l["conv5_2"], 512, 3, "conv5_3",
+                                 **params)
+
+        conv4_3 = l["conv4_3"]
+        if "conv4_3" in dropout_layers:
+            conv4_3 = ll.dropout(ctx, conv4_3, dropout_rate)
+        score_conv4 = ll.conv2d(ctx, conv4_3, num_units, 1, "score_conv4",
+                                **params)
+        conv5_3 = l["conv5_3"]
+        if "conv5_3" in dropout_layers:
+            conv5_3 = ll.dropout(ctx, conv5_3, dropout_rate)
+        score_conv5 = ll.conv2d(ctx, conv5_3, num_units, 1, "score_conv5",
+                                **params)
+        # the deconvolution is always frozen (simple_fcn.py:80-83)
+        upscore_conv5 = ll.deconv2d(ctx, score_conv5, num_units, 4,
+                                    "upscore_conv5", strides=2,
+                                    activation=jax.nn.relu,
+                                    batch_normalization=batchnorm,
+                                    trainable=False)
+        l["fused"] = score_conv4 + upscore_conv5
+    return l
+
+
+def decoder(ctx, features, prefix, num_units, num_classes, trainable=True,
+            batchnorm=True, dropout_rate=None):
+    """FCN feature decoder (reference simple_fcn.py:90-134): frozen
+    16x16/stride-8 bilinear upsampling + 1x1 class score conv (no activation
+    before the softmax)."""
+    with ctx.scope(prefix):
+        if dropout_rate is not None:
+            features = ll.dropout(ctx, features, dropout_rate)
+        upscore = ll.deconv2d(ctx, features, num_units, 16, "upscore",
+                              strides=8, activation=jax.nn.relu,
+                              batch_normalization=batchnorm, trainable=False)
+        score = ll.conv2d(ctx, upscore, num_classes, 1, "score",
+                          activation=None, batch_normalization=batchnorm,
+                          trainable=trainable)
+    return {"upscore": upscore, "score": score}
+
+
+def fcn(ctx, inputs, prefix, num_units, num_classes, trainable=True,
+        dropout_rate=0, dropout_layers=(), batchnorm=True):
+    """Full FCN: encoder + decoder (reference simple_fcn.py:137-170)."""
+    layers = encoder(ctx, inputs, prefix, num_units,
+                     dropout_rate=dropout_rate, trainable=trainable,
+                     batchnorm=batchnorm, dropout_layers=dropout_layers)
+    layers.update(decoder(
+        ctx, layers["fused"], prefix, num_units, num_classes,
+        trainable=trainable, batchnorm=batchnorm,
+        dropout_rate=(dropout_rate if "features" in dropout_layers
+                      else None)))
+    return layers
+
+
+class SimpleFCN(Estimator):
+    """FCN expert model (reference simple_fcn.py:173-224).
+
+    Args:
+        prefix: variable-name prefix (the modality column name).
+        data_description: tuple from dataset.get_data_description().
+        modality: key of the input modality in data batches.
+        num_units: feature units in the FCN.
+        batch_normalization, dropout_rate, train_encoder: see reference.
+    """
+
+    def __init__(self, prefix, data_description, modality, output_dir=None,
+                 **config):
+        self.prefix = prefix
+        self.modality = modality
+        standard_config = {"train_encoder": True, "dropout_rate": 0,
+                           "batch_normalization": True}
+        standard_config.update(config)
+        Estimator.__init__(self, data_description, output_dir=output_dir,
+                           **standard_config)
+
+    def _fcn(self, ctx, x):
+        return fcn(ctx, x, self.prefix, self.config["num_units"],
+                   self.config["num_classes"],
+                   trainable=self.config["train_encoder"],
+                   batchnorm=self.config["batch_normalization"])
+
+    def _train_outputs(self, ctx, batch):
+        layers = self._fcn(ctx, batch[self.modality])
+        prob = ll.log_softmax(layers["score"])
+        return {"loss": cross_entropy(prob, batch["labels"])}
+
+    def _test_outputs(self, ctx, batch):
+        layers = self._fcn(ctx, batch[self.modality])
+        prob = ll.softmax(layers["score"])
+        return {"prob": prob, "prediction": prob.argmax(-1)}

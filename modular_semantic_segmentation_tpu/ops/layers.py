@@ -101,7 +101,10 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
             out = out + bias
     out = out.astype(dtype)
     if batch_normalization:
-        out = batch_norm(ctx, out, name, trainable=trainable)
+        # TF layers BN is created without a trainable flag in the reference
+        # (custom_layers.py:132-134), so gamma/beta train even when the conv
+        # kernel is frozen — mirror that.
+        out = batch_norm(ctx, out, name, trainable=True)
         if activation is not None:
             out = activation(out)
     elif activation is not None:
@@ -143,7 +146,8 @@ def deconv2d(ctx, x, filters, kernel_size, name, strides=1, activation=None,
             out = out + bias
     out = out.astype(dtype)
     if batch_normalization:
-        out = batch_norm(ctx, out, name, trainable=trainable)
+        # BN params always trainable, as in the reference (see conv2d).
+        out = batch_norm(ctx, out, name, trainable=True)
         if activation is not None:
             out = activation(out)
     elif activation is not None:
@@ -155,7 +159,9 @@ def max_pool2d(ctx, x, pool_size, strides, name=None, padding="VALID"):
     """Max pooling (TF layers default VALID padding)."""
     ph, pw = _pair(pool_size)
     sh, sw = _pair(strides)
-    neg_inf = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
+    # -inf identity keeps reduce_window on the recognized max-monoid path
+    # (required for reverse-mode autodiff).
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) \
         else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x, neg_inf, jax.lax.max,

@@ -1,0 +1,102 @@
+"""Host-side batch plumbing between datasets and jitted steps.
+
+Replaces the reference's string-handle iterator machinery
+(xview/models/base_model.py:10-38, 105-118) with plain Python iterators plus:
+
+    * static-shape padding of partial batches (pad pixels get label -1 which
+      the confusion matrix ignores) so XLA never recompiles;
+    * a background-thread prefetcher that overlaps host batch assembly +
+      H2D transfer with device compute (double buffering) — the reference's
+      tf.data map-parallelism equivalent.
+"""
+
+import queue
+import threading
+
+import jax
+import numpy as np
+
+
+def _pad_batch(batch, batchsize, pad_label=-1):
+    """Pad a partial batch to the static batchsize. Returns (batch, valid)."""
+    n = next(iter(batch.values())).shape[0]
+    if n == batchsize:
+        return batch, n
+    padded = {}
+    for key, value in batch.items():
+        pad_width = [(0, batchsize - n)] + [(0, 0)] * (value.ndim - 1)
+        fill = pad_label if key == "labels" else 0
+        padded[key] = np.pad(value, pad_width, constant_values=fill)
+    return padded, n
+
+
+def _dict_to_batches(data, batchsize):
+    """Slice a dict of stacked arrays into batch dicts."""
+    total = next(iter(data.values())).shape[0]
+    for start in range(0, total, batchsize):
+        yield {k: np.asarray(v[start:start + batchsize])
+               for k, v in data.items()}
+
+
+def _as_batch_iterator(data, batchsize, shuffle=False, repeat=False):
+    """Normalize the accepted data forms into an iterator of batch dicts.
+
+    Accepts: a DataSource (duck-typed via .batches), a dict of stacked
+    arrays, or any iterator/generator of batch dicts.
+    """
+    if hasattr(data, "batches"):
+        return data.batches(batchsize, shuffle=shuffle, repeat=repeat)
+    if isinstance(data, dict):
+        if repeat:
+            def forever():
+                while True:
+                    yield from _dict_to_batches(data, batchsize)
+            return forever()
+        return _dict_to_batches(data, batchsize)
+    return iter(data)
+
+
+def iterate_batches(data, batchsize, pad=False, pad_label=-1):
+    """Yield (device-ready batch, num valid items) over the data, once."""
+    for batch in _as_batch_iterator(data, batchsize):
+        if pad:
+            batch, valid = _pad_batch(batch, batchsize, pad_label)
+        else:
+            valid = next(iter(batch.values())).shape[0]
+        yield batch, valid
+
+
+def training_batches(data, batchsize):
+    """Infinite shuffled batch iterator for fit()."""
+    return _as_batch_iterator(data, batchsize, shuffle=True, repeat=True)
+
+
+def to_device_prefetched(batch_iterator, buffer_size=2):
+    """Double-buffered host->device pipeline.
+
+    A background thread assembles batches (cv2/NumPy release the GIL) and
+    eagerly issues ``jax.device_put``; the consumer always finds the next
+    batch already on device.
+    """
+    q = queue.Queue(maxsize=buffer_size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in batch_iterator:
+                q.put({k: jax.device_put(np.asarray(v))
+                       for k, v in batch.items()})
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+
+    def consumer():
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+    return consumer()

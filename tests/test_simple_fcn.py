@@ -1,0 +1,112 @@
+"""SimpleFCN + Estimator smoke tests (SURVEY.md §4 tier 2; mirrors the
+reference's test pattern, xview/models/test_simple_fcn.py)."""
+
+import numpy as np
+import pytest
+
+from modular_semantic_segmentation_tpu.datasets import get_dataset
+from modular_semantic_segmentation_tpu.models import get_model
+
+
+@pytest.fixture(scope="module")
+def data():
+    return get_dataset("unittest")(height=32, width=32, num_train=6,
+                                   num_measure=2, num_test=3)
+
+
+@pytest.fixture(scope="module")
+def small_net(data):
+    return get_model("simple_fcn")(
+        prefix="rgb", modality="rgb", num_units=4,
+        data_description=data.get_data_description(), batchsize=2,
+        learning_rate=0.01)
+
+
+def test_can_build_model(small_net):
+    assert any(k.startswith("rgb/conv1_1") for k in small_net.variables)
+    assert "rgb/upscore/kernel" in small_net.variables
+    assert not small_net.trainable["rgb/upscore/kernel"]  # frozen deconv
+    assert not small_net.trainable["rgb/conv1_1/moving_mean"]
+    small_net.close()
+
+
+def test_can_run_training(small_net, data):
+    before = {k: np.asarray(v).copy()
+              for k, v in small_net.variables.items()}
+    small_net.fit(data.get_trainset(), 2)
+    after = small_net.variables
+    assert small_net.global_step == 2
+    # trainable vars moved, frozen deconv kernel unchanged
+    assert not np.allclose(before["rgb/conv1_1/kernel"],
+                           np.asarray(after["rgb/conv1_1/kernel"]))
+    np.testing.assert_array_equal(before["rgb/upscore/kernel"],
+                                  np.asarray(after["rgb/upscore/kernel"]))
+    # BN moving stats updated
+    assert not np.allclose(before["rgb/conv1_1/moving_mean"],
+                           np.asarray(after["rgb/conv1_1/moving_mean"]))
+
+
+def test_predict_and_score(small_net, data):
+    preds = small_net.predict(data.get_testset())
+    assert preds.shape == (3, 32, 32)
+    assert preds.dtype in (np.int32, np.int64)
+    probs = small_net.predict(data.get_testset(), output_attr="prob")
+    assert probs.shape == (3, 32, 32, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+    measures, cm = small_net.score(data.get_testset())
+    assert cm.shape == (4, 4)
+    assert cm.sum() > 0
+    assert 0 <= measures["total_accuracy"] <= 1
+
+
+def test_weight_roundtrip(small_net, data, tmp_path):
+    path = small_net.export_weights(save_dir=str(tmp_path))
+    net2 = get_model("simple_fcn")(
+        prefix="rgb", modality="rgb", num_units=4,
+        data_description=data.get_data_description(), batchsize=2)
+    report = net2.import_weights(path, warnings=False)
+    assert not report["missing"]
+    for k in small_net.variables:
+        np.testing.assert_array_equal(np.asarray(small_net.variables[k]),
+                                      np.asarray(net2.variables[k]))
+    m1, _ = small_net.score(data.get_testset())
+    m2, _ = net2.score(data.get_testset())
+    assert m1["total_accuracy"] == pytest.approx(m2["total_accuracy"])
+
+
+def test_prefix_translation(small_net, data, tmp_path):
+    """Import rgb-prefixed weights into a depth-prefixed column
+    (reference base_model.py:414-428)."""
+    path = small_net.export_weights(save_dir=str(tmp_path))
+    depth_net = get_model("simple_fcn")(
+        prefix="depth", modality="depth", num_units=4,
+        data_description=data.get_data_description(), batchsize=2)
+    report = depth_net.import_weights(path, translate_prefix="depth",
+                                      warnings=False)
+    # conv1_1 kernel mismatches in shape (3 vs 1 input channels) -> skipped;
+    # everything else translates
+    assert "depth/conv1_1/kernel" in report["mismatched"]
+    np.testing.assert_array_equal(
+        np.asarray(depth_net.variables["depth/conv2_1/kernel"]),
+        np.asarray(small_net.variables["rgb/conv2_1/kernel"]))
+
+
+def test_checkpoint_resume(small_net, tmp_path):
+    ckpt = small_net.save_checkpoint(str(tmp_path / "ckpt.pkl"))
+    net2 = get_model("simple_fcn")(
+        prefix="rgb", modality="rgb", num_units=4,
+        data_description=small_net.data_description, batchsize=2,
+        learning_rate=0.01)
+    net2.load_weights(ckpt)
+    assert net2.global_step == small_net.global_step
+    np.testing.assert_array_equal(
+        np.asarray(net2.variables["rgb/conv1_1/kernel"]),
+        np.asarray(small_net.variables["rgb/conv1_1/kernel"]))
+
+
+def test_context_manager(data):
+    with get_model("simple_fcn")(
+            prefix="rgb", modality="rgb", num_units=4,
+            data_description=data.get_data_description()) as net:
+        assert net.name == "SimpleFCN"
+    assert net._closed
