@@ -1,0 +1,75 @@
+"""Fusion driver base: builds frozen expert networks per modality and fuses
+their per-pixel outputs (reference xview/models/basic_fusion_model.py).
+
+TPU note: the experts run inside ONE jitted eval step — XLA schedules both
+expert convolution stacks plus the fusion math as a single program, so the
+fusion overhead on top of the experts is an elementwise epilogue instead of
+the reference's separate graph branches. With a device mesh the expert axis
+can additionally be sharded (parallel/expert_parallel.py).
+"""
+
+from modular_semantic_segmentation_tpu.ops import layers as ll
+from modular_semantic_segmentation_tpu.models.estimator import Estimator
+from modular_semantic_segmentation_tpu.models.simple_fcn import fcn
+from modular_semantic_segmentation_tpu.models.adapnet import adapnet
+
+
+def test_pipeline(ctx, inputs, prefix, expert_model, num_units, num_classes,
+                  **_):
+    """Unified expert pipeline: FCN or AdapNet, frozen, + softmax 'prob' and
+    argmax 'classification' (reference basic_fusion_model.py:9-23)."""
+    if expert_model == "adapnet":
+        outputs = adapnet(ctx, inputs, prefix, num_units, num_classes)
+    elif expert_model == "fcn":
+        outputs = fcn(ctx, inputs, prefix, num_units, num_classes,
+                      trainable=False, batchnorm=False)
+    else:
+        raise UserWarning(f"ERROR: Expert Model {expert_model} not found")
+    outputs["prob"] = ll.softmax(outputs["score"])
+    outputs["classification"] = outputs["prob"].argmax(-1)
+    return outputs
+
+
+class FusionModel(Estimator):
+    """Mixture-of-experts base (reference basic_fusion_model.py:26-66).
+
+    Config:
+        prefixes: dict {modality: variable-name prefix} for the experts.
+        expert_model: 'fcn' | 'adapnet'.
+    """
+
+    def __init__(self, name=None, output_dir=None, **config):
+        self.modalities = list(config["prefixes"].keys())
+        Estimator.__init__(self, data_description=config.pop(
+            "data_description"), name=name, output_dir=output_dir,
+            custom_training=True, **config)
+
+    def _fusion(self, expert_outputs):
+        """Fuse expert outputs into a prediction dict. Must return a dict
+        containing at least 'prediction'."""
+        raise NotImplementedError
+
+    def _test_outputs(self, ctx, batch):
+        expert_outputs = {
+            m: test_pipeline(ctx, batch[m], self.config["prefixes"][m],
+                             **self.config)
+            for m in self.modalities}
+        out = self._fusion(expert_outputs)
+        # expose per-expert diagnostics for predict(output_attr=...)
+        for m in self.modalities:
+            out[f"{m}_prob"] = expert_outputs[m]["prob"]
+            out[f"{m}_classification"] = expert_outputs[m]["classification"]
+        return out
+
+    def import_expert_weights(self, weight_files, **kwargs):
+        """Import per-expert npz files: {modality: filepath} or a single
+        path for all (the experiment layer's dict-form starting_weights,
+        reference evaluation.py:58-91)."""
+        if isinstance(weight_files, str):
+            return self.import_weights(weight_files, **kwargs)
+        reports = {}
+        for modality, filepath in weight_files.items():
+            reports[modality] = self.import_weights(
+                filepath, translate_prefix=self.config["prefixes"][modality],
+                **kwargs)
+        return reports

@@ -170,17 +170,20 @@ def max_pool2d(ctx, x, pool_size, strides, name=None, padding="VALID"):
         padding=padding)
 
 
-def dropout(ctx, x, rate, name=None, training=True):
+def dropout(ctx, x, rate, name=None, training=True, noise_shape=None):
     """TF-style dropout: zero with prob ``rate``, scale kept by 1/(1-rate).
 
     The reference's MC-dropout models run dropout with training=True even at
     test time (simple_fcn.py:52, variance_mix.py:55); callers control that via
-    the ``training`` flag, independent of ctx.train.
+    the ``training`` flag, independent of ctx.train. ``noise_shape``
+    broadcasts the mask (e.g. whole-pixel dropout with channel dim 1,
+    uncertainty_dirichlet_mix.py:120-128).
     """
     if not training or rate == 0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(ctx.next_rng(), keep, x.shape)
+    mask = jax.random.bernoulli(ctx.next_rng(), keep,
+                                noise_shape if noise_shape else x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

@@ -1,0 +1,136 @@
+"""Fusion model tests: expert reuse via npz, Bayes/Dirichlet/Average/
+Variance fusion end to end on the synthetic RGB-D fixture
+(SURVEY.md §4 tier 2)."""
+
+import numpy as np
+import pytest
+
+from modular_semantic_segmentation_tpu.datasets import get_dataset
+from modular_semantic_segmentation_tpu.models import get_model
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    """Two tiny trained experts + their measureset confusion matrices."""
+    tmp = tmp_path_factory.mktemp("experts")
+    data = get_dataset("unittest")(height=32, width=32, num_train=8,
+                                   num_measure=4, num_test=3)
+    weights = {}
+    cms = {}
+    for modality in ["rgb", "depth"]:
+        net = get_model("simple_fcn")(
+            prefix=modality, modality=modality, num_units=4,
+            data_description=data.get_data_description(), batchsize=2,
+            learning_rate=0.02, batch_normalization=False)
+        net.fit(data.get_trainset(), 3)
+        weights[modality] = net.export_weights(save_dir=str(tmp))
+        _, cms[modality] = net.score(data.get_measureset())
+        net.close()
+    return data, weights, cms
+
+
+FUSION_CONFIG = dict(num_units=4, expert_model="fcn",
+                     prefixes={"rgb": "rgb", "depth": "depth"}, batchsize=2)
+
+
+def _import_experts(net, weights):
+    for modality, filepath in weights.items():
+        net.import_weights(filepath, warnings=False)
+
+
+def test_average_fusion(setup):
+    data, weights, _ = setup
+    net = get_model("average")(
+        data_description=data.get_data_description(), **FUSION_CONFIG)
+    _import_experts(net, weights)
+    preds = net.predict(data.get_testset())
+    assert preds.shape == (3, 32, 32)
+    # fused average prob equals mean of expert probs
+    rgb = net.predict(data.get_testset(), output_attr="rgb_prob")
+    depth = net.predict(data.get_testset(), output_attr="depth_prob")
+    fused = net.predict(data.get_testset(), output_attr="fused_score")
+    np.testing.assert_allclose(fused, (rgb + depth) / 2, rtol=1e-4,
+                               atol=1e-5)
+    measures, _ = net.score(data.get_testset())
+    assert 0 <= measures["total_accuracy"] <= 1
+
+
+def test_bayes_fusion(setup):
+    data, weights, cms = setup
+    net = get_model("bayes_mix")(
+        data_description=data.get_data_description(),
+        confusion_matrices=cms, class_prior="data", **FUSION_CONFIG)
+    _import_experts(net, weights)
+    preds = net.predict(data.get_testset())
+    assert preds.shape == (3, 32, 32)
+    fused = net.predict(data.get_testset(), output_attr="fused_score")
+    np.testing.assert_array_equal(preds, fused.argmax(-1))
+
+    # decision-matrix fast path gives identical labels
+    net2 = get_model("bayes_mix")(
+        data_description=data.get_data_description(),
+        confusion_matrices=cms, class_prior="data",
+        use_decision_matrix=True, **FUSION_CONFIG)
+    _import_experts(net2, weights)
+    np.testing.assert_array_equal(net2.predict(data.get_testset()), preds)
+
+
+@pytest.mark.parametrize("prior", ["uniform", 0.5])
+def test_bayes_fusion_priors(setup, prior):
+    data, weights, cms = setup
+    net = get_model("bayes_mix")(
+        data_description=data.get_data_description(),
+        confusion_matrices=cms, class_prior=prior, **FUSION_CONFIG)
+    _import_experts(net, weights)
+    assert net.predict(data.get_testset()).shape == (3, 32, 32)
+
+
+def test_dirichlet_fusion_fit_and_eval(setup):
+    data, weights, _ = setup
+    net = get_model("dirichlet_mix")(
+        data_description=data.get_data_description(), sigma=0.1,
+        delta=1e-2, beta=1e-2, **FUSION_CONFIG)
+    _import_experts(net, weights)
+    params = net.fit(data.get_measureset())
+    assert set(params) == {"rgb", "depth", "class_counts"}
+    assert params["rgb"].shape == (4, 4)
+    assert (params["rgb"] > 0).all()
+    # weights survive fit (no graph rebuild — unlike the reference)
+    preds = net.predict(data.get_testset())
+    assert preds.shape == (3, 32, 32)
+    measures, _ = net.score(data.get_testset())
+    assert measures["confusion_matrix"].sum() > 0
+
+    # params round-trip through the constructor
+    net2 = get_model("dirichlet_mix")(
+        data_description=data.get_data_description(), sigma=0.1,
+        dirichlet_params={k: np.asarray(v) for k, v in params.items()},
+        **FUSION_CONFIG)
+    _import_experts(net2, weights)
+    np.testing.assert_array_equal(net2.predict(data.get_testset()), preds)
+
+
+def test_variance_fusion(setup):
+    data, weights, _ = setup
+    net = get_model("variance")(
+        data_description=data.get_data_description(), num_samples=2,
+        dropout_rate=0.3, **FUSION_CONFIG)
+    _import_experts(net, weights)
+    preds = net.predict(data.get_testset())
+    assert preds.shape == (3, 32, 32)
+    var = net.predict(data.get_testset(), output_attr="rgb_variance")
+    assert var.shape == (3, 32, 32, 1)
+    assert (np.asarray(var) >= 0).all()
+
+
+def test_uncertainty_dirichlet_fusion(setup):
+    data, weights, _ = setup
+    net = get_model("uncertainty_dirichlet_mix")(
+        data_description=data.get_data_description(), sigma=0.1,
+        num_samples=2, dropout_rate=0.3, **FUSION_CONFIG)
+    _import_experts(net, weights)
+    net.fit(data.get_measureset())
+    preds = net.predict(data.get_testset())
+    assert preds.shape == (3, 32, 32)
+    mix = net.predict(data.get_testset(), output_attr="rgb_uncertainty")
+    assert float(mix.max()) <= 1.0 + 1e-5
