@@ -1,0 +1,85 @@
+"""Benchmark: Bayes-fused RGB-D inference at 1x768x384 on one TPU chip.
+
+Mirrors the reference's timing harness semantics
+(experiments/timing.py:49-83 + Inference Time.ipynb): frozen inference on a
+constant input, host->device transfer excluded, mean over repetitions.
+The baseline is the reference's published GTX 1080 Ti number for fused
+Bayes inference: 0.0461 s/frame = 21.7 fps (BASELINE.md, paper Table V).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": ratio}
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_BAYES_FUSED_SPF = 0.0461  # GTX 1080 Ti, BASELINE.md Table V
+
+
+def build_flagship(height=768, width=384, num_classes=14, num_units=64,
+                   compute_dtype="bfloat16"):
+    from modular_semantic_segmentation_tpu.models import get_model
+
+    data_description = (
+        {"labels": np.int32, "rgb": np.float32, "depth": np.float32},
+        {"rgb": (None, None, 3), "depth": (None, None, 1),
+         "labels": (None, None)},
+        num_classes)
+    rng = np.random.RandomState(0)
+    cms = {m: rng.rand(num_classes, num_classes) + np.eye(num_classes) * 5
+           for m in ("rgb", "depth")}
+    net = get_model("bayes_mix")(
+        data_description=data_description, confusion_matrices=cms,
+        num_units=num_units, expert_model="fcn",
+        prefixes={"rgb": "rgb", "depth": "depth"}, batchsize=1,
+        compute_dtype=compute_dtype, use_decision_matrix=True)
+    batch = {
+        "rgb": np.asarray(rng.rand(1, height, width, 3) * 255, np.float32),
+        "depth": np.asarray(rng.rand(1, height, width, 1), np.float32),
+    }
+    return net, batch
+
+
+def main():
+    import jax
+
+    net, batch = build_flagship()
+    rng = jax.random.PRNGKey(0)
+
+    def forward(variables, batch):
+        from modular_semantic_segmentation_tpu.ops.variables import Ctx
+        ctx = Ctx(variables, train=False, rng=rng,
+                  compute_dtype=net.compute_dtype)
+        return net._test_outputs(ctx, batch)["prediction"]
+
+    fn = jax.jit(forward)
+    device_batch = {k: jax.device_put(v) for k, v in batch.items()}
+    variables = {k: jax.device_put(np.asarray(v))
+                 for k, v in net.variables.items()}
+
+    # compile + warmup
+    fn(variables, device_batch).block_until_ready()
+    for _ in range(3):
+        fn(variables, device_batch).block_until_ready()
+
+    repetitions = 50
+    times = []
+    for _ in range(repetitions):
+        start = time.perf_counter()
+        fn(variables, device_batch).block_until_ready()
+        times.append(time.perf_counter() - start)
+    mean_spf = float(np.mean(times))
+    fps = 1.0 / mean_spf
+
+    print(json.dumps({
+        "metric": "bayes_fused_rgbd_fps_768x384_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / (1.0 / REFERENCE_BAYES_FUSED_SPF), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

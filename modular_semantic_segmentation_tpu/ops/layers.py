@@ -27,6 +27,11 @@ BN_MOMENTUM = 0.99
 BN_EPSILON = 1e-3
 
 
+def _accum_dtype(dtype):
+    """Accumulate in float32 on the MXU; never narrower than the input."""
+    return jnp.promote_types(jnp.float32, dtype)
+
+
 def _pair(v):
     if isinstance(v, (tuple, list)):
         return tuple(int(x) for x in v)
@@ -50,13 +55,15 @@ def batch_norm(ctx, x, name, trainable=True):
                               trainable=False)
         moving_var = ctx.get("moving_variance", (dim,), initializers.ones,
                              trainable=False)
-        x32 = x.astype(jnp.float32)
+        x32 = x.astype(_accum_dtype(x.dtype))
         if ctx.train:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x32, axis=axes)
-            # TF uses the biased variance estimate for normalization and for
-            # the moving average.
-            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            # Biased variance via the two-pass form (tf.nn.moments): the
+            # E[x^2]-E[x]^2 shortcut cancels catastrophically for
+            # large-magnitude inputs (raw 0..255 images).
+            var = jnp.mean(
+                jnp.square(x32 - jax.lax.stop_gradient(mean)), axis=axes)
             ctx.record_update(
                 "moving_mean",
                 BN_MOMENTUM * moving_mean + (1.0 - BN_MOMENTUM) * mean)
@@ -94,7 +101,7 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
             padding=padding.upper(),
             rhs_dilation=dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=_accum_dtype(dtype))
         if use_bias:
             bias = ctx.get("bias", (int(filters),), initializers.zeros,
                            trainable=trainable)
@@ -139,7 +146,7 @@ def deconv2d(ctx, x, filters, kernel_size, name, strides=1, activation=None,
             strides=strides, padding=padding.upper(),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=_accum_dtype(dtype))
         if use_bias:
             bias = ctx.get("bias", (int(filters),), initializers.zeros,
                            trainable=trainable)
