@@ -1,0 +1,205 @@
+"""Inference-timing harness (reference experiments/timing.py:23-311 +
+Inference Time.ipynb, paper Table V).
+
+Every command times jitted inference on a constant 1x768x384 input,
+host->device transfer excluded (device-resident inputs +
+block_until_ready), reporting mean +- std seconds/frame over
+``repetitions``. The reference's bayes_lookup one-hot-contraction trick
+existed because gather_nd had no GPU kernel; on TPU both paths are timed.
+
+Usage: python -m experiments.timing [command] with k=v ...
+Defaults: num_units=64, num_classes=14, repetitions=50, bfloat16 compute.
+"""
+
+import time
+
+import numpy as np
+
+from modular_semantic_segmentation_tpu.utils.sacred_shim import (
+    Experiment, apply_backspaces_and_linefeeds)
+from modular_semantic_segmentation_tpu.models import get_model
+from experiments.utils import get_observer
+
+ex = Experiment()
+ex.captured_out_filter = apply_backspaces_and_linefeeds
+ex.observers.append(get_observer())
+
+HEIGHT, WIDTH = 768, 384
+
+DEFAULTS = dict(num_units=64, num_classes=14, repetitions=50,
+                compute_dtype="bfloat16", num_samples=5, dropout_rate=0.2)
+
+
+def _cfg(overrides):
+    cfg = dict(DEFAULTS)
+    cfg.update({k: v for k, v in overrides.items() if v is not None})
+    return cfg
+
+
+def _description(num_classes):
+    return ({"labels": np.int32, "rgb": np.float32, "depth": np.float32},
+            {"rgb": (None, None, 3), "depth": (None, None, 1),
+             "labels": (None, None)}, num_classes)
+
+
+def _inputs(modalities):
+    shapes = {"rgb": (1, HEIGHT, WIDTH, 3), "depth": (1, HEIGHT, WIDTH, 1)}
+    return {m: np.ones(shapes[m], np.float32) for m in modalities}
+
+
+def _time(net, batch, repetitions):
+    import jax
+    from modular_semantic_segmentation_tpu.ops.variables import Ctx
+
+    rng = jax.random.PRNGKey(0)
+
+    def forward(variables, batch):
+        ctx = Ctx(variables, train=False, rng=rng,
+                  compute_dtype=net.compute_dtype)
+        return net._test_outputs(ctx, batch)["prediction"]
+
+    fn = jax.jit(forward)
+    device_batch = {k: jax.device_put(v) for k, v in batch.items()}
+    variables = {k: jax.device_put(np.asarray(v))
+                 for k, v in net.variables.items()}
+    fn(variables, device_batch).block_until_ready()
+    for _ in range(3):
+        fn(variables, device_batch).block_until_ready()
+    times = []
+    for _ in range(repetitions):
+        start = time.perf_counter()
+        fn(variables, device_batch).block_until_ready()
+        times.append(time.perf_counter() - start)
+    mean, std = float(np.mean(times)), float(np.std(times))
+    print(f"{net.name}: {mean:.4f} +- {std:.4f} s/frame "
+          f"({1.0 / mean:.1f} fps)")
+    return {"mean": mean, "std": std, "fps": 1.0 / mean}
+
+
+def _expert_config(cfg, modality):
+    return dict(prefix=modality, modality=modality,
+                num_units=cfg["num_units"],
+                data_description=_description(cfg["num_classes"]),
+                compute_dtype=cfg["compute_dtype"],
+                batch_normalization=False)
+
+
+def _fusion_config(cfg, **extra):
+    base = dict(data_description=_description(cfg["num_classes"]),
+                num_units=cfg["num_units"], expert_model="fcn",
+                prefixes={"rgb": "rgb", "depth": "depth"},
+                compute_dtype=cfg["compute_dtype"])
+    base.update(extra)
+    return base
+
+
+def _random_cms(num_classes, seed=0):
+    rng = np.random.RandomState(seed)
+    return {m: rng.rand(num_classes, num_classes) + np.eye(num_classes) * 5
+            for m in ("rgb", "depth")}
+
+
+def _record(_run, name, result):
+    _run.info.setdefault("timings", {})[name] = result
+
+
+@ex.command
+def time_rgb_fcn(_run, num_units=None, num_classes=None, repetitions=None,
+                 compute_dtype=None):
+    cfg = _cfg(locals())
+    net = get_model("simple_fcn")(**_expert_config(cfg, "rgb"))
+    _record(_run, "rgb_fcn", _time(net, _inputs(["rgb"]),
+                                   cfg["repetitions"]))
+
+
+@ex.command
+def time_depth_fcn(_run, num_units=None, num_classes=None, repetitions=None,
+                   compute_dtype=None):
+    cfg = _cfg(locals())
+    net = get_model("simple_fcn")(**_expert_config(cfg, "depth"))
+    _record(_run, "depth_fcn", _time(net, _inputs(["depth"]),
+                                     cfg["repetitions"]))
+
+
+@ex.command
+def time_fusion_fcn(_run, num_units=None, num_classes=None, repetitions=None,
+                    compute_dtype=None):
+    cfg = _cfg(locals())
+    net = get_model("fusion_fcn")(
+        data_description=_description(cfg["num_classes"]),
+        prefixes={"rgb": "rgb", "depth": "depth"},
+        num_units=cfg["num_units"], compute_dtype=cfg["compute_dtype"])
+    _record(_run, "fusion_fcn",
+            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+
+
+@ex.command
+def time_average_fcn(_run, num_units=None, num_classes=None,
+                     repetitions=None, compute_dtype=None):
+    cfg = _cfg(locals())
+    net = get_model("average")(**_fusion_config(cfg))
+    _record(_run, "average_fcn",
+            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+
+
+@ex.command
+def time_bayes_fcn(_run, num_units=None, num_classes=None, repetitions=None,
+                   compute_dtype=None):
+    cfg = _cfg(locals())
+    net = get_model("bayes_mix")(**_fusion_config(
+        cfg, confusion_matrices=_random_cms(cfg["num_classes"])))
+    _record(_run, "bayes_fcn",
+            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+
+
+@ex.command
+def time_bayes_lookup_fcn(_run, num_units=None, num_classes=None,
+                          repetitions=None, compute_dtype=None):
+    cfg = _cfg(locals())
+    net = get_model("bayes_mix")(**_fusion_config(
+        cfg, confusion_matrices=_random_cms(cfg["num_classes"]),
+        use_decision_matrix=True))
+    _record(_run, "bayes_lookup_fcn",
+            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+
+
+@ex.command
+def time_dirichlet_fcn(_run, num_units=None, num_classes=None,
+                       repetitions=None, compute_dtype=None):
+    cfg = _cfg(locals())
+    k = cfg["num_classes"]
+    rng = np.random.RandomState(0)
+    params = {m: rng.rand(k, k).astype("float32") + 1
+              for m in ("rgb", "depth")}
+    params["class_counts"] = np.ones(k, "float32")
+    net = get_model("dirichlet_mix")(**_fusion_config(
+        cfg, dirichlet_params=params, sigma=0.2))
+    _record(_run, "dirichlet_fcn",
+            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+
+
+@ex.command
+def time_variance_fcn(_run, num_units=None, num_classes=None,
+                      repetitions=None, compute_dtype=None,
+                      num_samples=None, dropout_rate=None):
+    cfg = _cfg(locals())
+    net = get_model("variance")(**_fusion_config(
+        cfg, num_samples=cfg["num_samples"],
+        dropout_rate=cfg["dropout_rate"]))
+    _record(_run, "variance_fcn",
+            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+
+
+@ex.main
+def main(_run, num_units=None, num_classes=None, repetitions=None,
+         compute_dtype=None):
+    """Time every configuration (the full paper Table V sweep)."""
+    for cmd in [time_rgb_fcn, time_depth_fcn, time_average_fcn,
+                time_bayes_fcn, time_bayes_lookup_fcn, time_dirichlet_fcn,
+                time_fusion_fcn, time_variance_fcn]:
+        cmd(_run=_run, num_units=num_units, num_classes=num_classes,
+            repetitions=repetitions, compute_dtype=compute_dtype)
+
+
+if __name__ == "__main__":
+    ex.run_commandline()

@@ -1,0 +1,75 @@
+"""Main training entry point (reference experiments/training.py).
+
+Usage: python -m experiments.training with config.yaml [key=value ...]
+"""
+
+import os
+import shutil
+
+from modular_semantic_segmentation_tpu.utils.sacred_shim import (
+    Experiment, apply_backspaces_and_linefeeds)
+from modular_semantic_segmentation_tpu.datasets import get_dataset
+from modular_semantic_segmentation_tpu.models import get_model
+from modular_semantic_segmentation_tpu.settings import EXP_OUT
+from experiments.utils import get_observer
+from experiments.evaluation import evaluate, import_weights_into_network
+
+
+def create_directories(run_id, experiment):
+    """Create a clean per-run output directory under EXP_OUT
+    (reference training.py:13-40)."""
+    root = EXP_OUT
+    os.makedirs(root, exist_ok=True)
+    output_dir = f"{root}/{run_id}"
+    if os.path.exists(output_dir):
+        shutil.rmtree(output_dir)
+    os.mkdir(output_dir)
+    experiment.info.setdefault("logdirs", []).append(output_dir)
+    return output_dir
+
+
+def train_network(net, output_dir, data, num_iterations, starting_weights,
+                  experiment, additional_eval_data=None):
+    """Optional warm start -> fit (KeyboardInterrupt-safe) -> export weights
+    -> register artifacts (reference training.py:43-75)."""
+    if starting_weights:
+        import_weights_into_network(net, starting_weights)
+    try:
+        net.fit(data.get_trainset(), num_iterations,
+                validation_dataset=data.get_validation_set(),
+                additional_eval_datasets=additional_eval_data or {},
+                output=False)
+    except KeyboardInterrupt:
+        print("WARNING: Got Keyboard Interrupt, will save weights and close")
+    net.export_weights()
+    for filename in os.listdir(output_dir):
+        experiment.add_artifact(os.path.join(output_dir, filename))
+
+
+ex = Experiment()
+ex.captured_out_filter = apply_backspaces_and_linefeeds
+ex.observers.append(get_observer())
+
+
+@ex.capture
+def train_and_evaluate(net, output_dir, data, num_iterations,
+                       starting_weights, _run):
+    train_network(net, output_dir, data, num_iterations, starting_weights,
+                  ex)
+    measurements, _ = evaluate(net, data)
+    _run.info["measurements"] = measurements
+
+
+@ex.main
+def main(modelname, dataset, net_config, _run):
+    output_dir = create_directories(_run._id, ex)
+    data_cls = get_dataset(dataset["name"])
+    model = get_model(modelname)
+    with model(data_description=data_cls.get_data_description(),
+               output_dir=output_dir, **net_config) as net:
+        data = data_cls(**{k: v for k, v in dataset.items() if k != "name"})
+        train_and_evaluate(net, output_dir, data)
+
+
+if __name__ == "__main__":
+    ex.run_commandline()

@@ -25,5 +25,16 @@ Public API mirrors the reference (see reference README.md:60-87):
 
 __version__ = "0.1.0"
 
-from modular_semantic_segmentation_tpu.models import get_model  # noqa: F401
-from modular_semantic_segmentation_tpu.datasets import get_dataset  # noqa: F401
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it via
+    # the config API (must run before the backend initializes).
+    try:
+        import jax as _jax
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - best effort
+        pass
+
+from modular_semantic_segmentation_tpu.models import get_model  # noqa: F401,E402
+from modular_semantic_segmentation_tpu.datasets import get_dataset  # noqa: F401,E402

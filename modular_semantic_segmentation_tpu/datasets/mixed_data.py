@@ -1,0 +1,64 @@
+"""Multi-dataset training mixer (reference xview/datasets/mixed_data.py):
+per-dataset batch quotas, concatenated batches; evaluation delegates to one
+of the datasets."""
+
+import numpy as np
+
+from modular_semantic_segmentation_tpu.datasets.wrapper import DataWrapper
+
+
+class MixedData(DataWrapper):
+    """Mixes training batches from several datasets.
+
+    Args:
+        datasets: list of instantiated dataset objects.
+        batch_distr: list of per-dataset items per mixed batch.
+        eval_dataset_idx: index of the dataset used for eval accessors.
+    """
+
+    def __init__(self, datasets, batch_distr, eval_dataset_idx=0):
+        assert len(datasets) == len(batch_distr)
+        self.datasets = datasets
+        self.batch_distr = batch_distr
+        self.eval_dataset = datasets[eval_dataset_idx]
+        self.modalities = self.eval_dataset.modalities
+        self.labelinfo = self.eval_dataset.labelinfo
+        self.num_classes = self.eval_dataset.num_classes
+        self._iterators = None
+
+    @classmethod
+    def get_data_description(cls, num_classes=None):
+        raise NotImplementedError(
+            "use the description of one of the mixed datasets")
+
+    def next(self):
+        """Concatenated batch honoring the per-dataset quotas
+        (reference mixed_data.py:47-50)."""
+        if self._iterators is None:
+            self._iterators = [
+                d.get_trainset().batches(n, shuffle=True, repeat=True)
+                for d, n in zip(self.datasets, self.batch_distr)]
+        parts = [next(it) for it in self._iterators]
+        return {m: np.concatenate([p[m] for p in parts])
+                for m in parts[0]}
+
+    def get_trainset(self, *args, **kwargs):
+        mixer = self
+
+        class _MixedSource:
+            def batches(self, batchsize, shuffle=False, repeat=False,
+                        seed=None):
+                while True:
+                    yield mixer.next()
+                    if not repeat:
+                        return
+        return _MixedSource()
+
+    def get_testset(self, *args, **kwargs):
+        return self.eval_dataset.get_testset(*args, **kwargs)
+
+    def get_measureset(self, *args, **kwargs):
+        return self.eval_dataset.get_measureset(*args, **kwargs)
+
+    def get_validation_set(self, *args, **kwargs):
+        return self.eval_dataset.get_validation_set(*args, **kwargs)

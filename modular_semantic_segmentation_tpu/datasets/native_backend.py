@@ -33,10 +33,12 @@ def _load():
         return None
     lib.resize_bilinear_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float]
     lib.resize_nearest.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float]
     lib.apply_lut_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p]
     lib.pack_normalize_f32.argtypes = [
@@ -64,14 +66,17 @@ def resize(img, fx, fy, interpolation):
     if interpolation == cv2.INTER_LINEAR and img.dtype == np.uint8:
         src = np.ascontiguousarray(img)
         dst = np.empty((out_h, out_w) + img.shape[2:], np.uint8)
+        # cv2 samples with scale = 1/f (not src/dst) — match exactly
         lib.resize_bilinear_u8(src.ctypes.data, h, w, c,
-                               dst.ctypes.data, out_h, out_w)
+                               dst.ctypes.data, out_h, out_w,
+                               1.0 / fy, 1.0 / fx)
         return dst
     if interpolation == cv2.INTER_NEAREST and img.dtype.itemsize in (1, 2, 4):
         src = np.ascontiguousarray(img)
         dst = np.empty((out_h, out_w) + img.shape[2:], img.dtype)
         lib.resize_nearest(src.ctypes.data, h, w, c, img.dtype.itemsize,
-                           dst.ctypes.data, out_h, out_w)
+                           dst.ctypes.data, out_h, out_w, 1.0 / fy,
+                           1.0 / fx)
         return dst
     return None
 

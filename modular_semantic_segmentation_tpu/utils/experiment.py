@@ -1,0 +1,173 @@
+"""Experiment storage/config layer (reference experiments/utils.py).
+
+ExperimentData loads any past run's config/info/artifacts/weights from the
+FileStorage layout (directory or zip; MongoDB if pymongo is installed and
+configured), so experiments compose across runs — fusion models can load
+expert weights and confusion matrices by experiment id.
+"""
+
+import json
+import os
+import zipfile
+from copy import deepcopy
+from os import path, listdir
+
+import numpy as np
+
+from modular_semantic_segmentation_tpu import settings
+
+
+def get_observer():
+    """Pick the observer backend from settings
+    (reference experiments/utils.py:25-37)."""
+    if settings.EXPERIMENT_DB_HOST:
+        try:
+            from sacred.observers import MongoObserver
+            return MongoObserver.create(
+                url="mongodb://{user}:{pwd}@{host}/{db}".format(
+                    host=settings.EXPERIMENT_DB_HOST,
+                    user=settings.EXPERIMENT_DB_USER,
+                    pwd=settings.EXPERIMENT_DB_PWD,
+                    db=settings.EXPERIMENT_DB_NAME),
+                db_name=settings.EXPERIMENT_DB_NAME)
+        except ImportError:
+            print("WARNING: DB settings found but no mongo support; "
+                  "falling back to file storage")
+    from modular_semantic_segmentation_tpu.utils.sacred_shim import \
+        FileStorageObserver
+    return FileStorageObserver.create(settings.EXPERIMENT_STORAGE_FOLDER)
+
+
+# alias kept because several reference scripts import it by this name
+# (finetuning.py:7, ibcc_fusion.py:3, uncertainty_eval.py:12)
+get_mongo_observer = get_observer
+
+
+def load_data(data_config):
+    """Instantiate the dataset described by a data_config dict
+    (reference experiments/utils.py:16-22)."""
+    from modular_semantic_segmentation_tpu.datasets import get_dataset
+    params = {key: val for key, val in data_config.items()
+              if key not in ["dataset", "name", "use_trainset"]}
+    name = data_config.get("dataset", data_config.get("name"))
+    return get_dataset(name)(**params)
+
+
+def reverse_convert_datatypes(data):
+    """Undo the JSON encoding of numpy values in stored records
+    (reference experiments/utils.py:40-58)."""
+    if isinstance(data, dict):
+        if "values" in data and len(data) == 1:
+            return reverse_convert_datatypes(data["values"])
+        if "py/tuple" in data and len(data) == 1:
+            return reverse_convert_datatypes(data["py/tuple"])
+        if data.get("py/object") == "numpy.ndarray":
+            if "dtype" in data:
+                return np.array(data["values"], dtype=data["dtype"])
+            return np.array(data["values"])
+        return {key: reverse_convert_datatypes(val)
+                for key, val in data.items()}
+    if isinstance(data, list):
+        return [reverse_convert_datatypes(item) for item in data]
+    return data
+
+
+class ExperimentData:
+    """Uniform accessor for a past run's record and artifacts."""
+
+    def __init__(self, exp_id):
+        folder = settings.EXPERIMENT_STORAGE_FOLDER
+        if str(exp_id) in listdir(folder):
+            self.exp_path = path.join(folder, str(exp_id))
+            with open(path.join(self.exp_path, "run.json")) as f:
+                record = json.load(f)
+            with open(path.join(self.exp_path, "info.json")) as f:
+                record["info"] = json.load(f)
+            with open(path.join(self.exp_path, "config.json")) as f:
+                record["config"] = json.load(f)
+            cout = path.join(self.exp_path, "cout.txt")
+            record["captured_out"] = (open(cout).read()
+                                      if path.exists(cout) else "")
+            self.artifacts = listdir(self.exp_path)
+        elif f"{exp_id}.zip" in listdir(folder):
+            self.zipfile = path.join(folder, f"{exp_id}.zip")
+            with zipfile.ZipFile(self.zipfile) as archive:
+                record = json.loads(archive.read("run.json").decode("utf8"))
+                record["info"] = json.loads(
+                    archive.read("info.json").decode("utf8"))
+                record["config"] = json.loads(
+                    archive.read("config.json").decode("utf8"))
+                self.artifacts = archive.namelist()
+        else:
+            raise UserWarning(f"Specified experiment {exp_id} not found.")
+        self.record = record
+
+    def get_record(self):
+        return reverse_convert_datatypes(deepcopy(self.record))
+
+    def get_artifact(self, name):
+        """Return the artifact with the given name as a file path (dir
+        backend) or file-like object (zip backend)."""
+        if name not in self.artifacts:
+            raise UserWarning(f"ERROR: Artifact {name} not found")
+        if hasattr(self, "exp_path"):
+            return path.join(self.exp_path, name)
+        archive = zipfile.ZipFile(self.zipfile)
+        return archive.open(name)
+
+    def get_summary(self, tag):
+        """pd.Series of a scalar summary tag from the run's
+        summaries.jsonl (our TF-events replacement)."""
+        from pandas import Series
+        search = [a for a in self.artifacts if "summaries" in a]
+        if not search:
+            raise UserWarning("ERROR: Could not find summary file")
+        steps, values = [], []
+        fobj = self.get_artifact(search[0])
+        lines = (open(fobj) if isinstance(fobj, str) else fobj)
+        for line in lines:
+            if isinstance(line, bytes):
+                line = line.decode("utf8")
+            record = json.loads(line)
+            if tag in record:
+                steps.append(record["step"])
+                values.append(record[tag])
+        return Series(values, index=steps)
+
+    def get_weights(self):
+        """Path/file of the first stored weights artifact."""
+        filename = next(a for a in self.artifacts if "weights" in a)
+        return self.get_artifact(filename)
+
+    def dump(self, out_path):
+        """Dump the record and artifacts as a zip archive."""
+        if not out_path.endswith(".zip"):
+            out_path = out_path + ".zip"
+        with zipfile.ZipFile(out_path, "w") as archive:
+            record = deepcopy(self.record)
+            for name in self.artifacts:
+                if name.endswith((".json", ".txt")):
+                    continue
+                src = self.get_artifact(name)
+                if isinstance(src, str):
+                    archive.write(src, name)
+                else:
+                    archive.writestr(name, src.read())
+            archive.writestr("config.json", json.dumps(record["config"],
+                                                       default=str))
+            archive.writestr("cout.txt", record.get("captured_out", ""))
+            archive.writestr("info.json", json.dumps(record["info"],
+                                                     default=str))
+            record.pop("config", None)
+            record.pop("captured_out", None)
+            record.pop("info", None)
+            archive.writestr("run.json", json.dumps(record, default=str))
+        return out_path
+
+    def update_record(self, changes):
+        """Apply changes to the stored record (dir backend)."""
+        assert hasattr(self, "exp_path"), \
+            "update_record only supported for directory storage"
+        self.record.update(changes)
+        with open(path.join(self.exp_path, "info.json"), "w") as f:
+            json.dump(self.record["info"], f, indent=2, default=str)

@@ -1,0 +1,171 @@
+"""Dataset-driver tests on miniature synthetic file trees — validates path
+layout, split logic and label remaps without the real corpora."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+
+def _write_png(filepath, array):
+    os.makedirs(os.path.dirname(filepath), exist_ok=True)
+    cv2.imwrite(filepath, array)
+
+
+@pytest.fixture()
+def synthia_rand_tree(tmp_path):
+    """Miniature RAND_CITYSCAPES layout."""
+    rng = np.random.RandomState(0)
+    base = tmp_path / "synthia" / "RAND_CITYSCAPES"
+    names = [f"{i:07d}" for i in range(6)]
+    for name in names:
+        _write_png(str(base / "RGB/Stereo_Right/Omni_F" / f"{name}.png"),
+                   rng.randint(0, 255, (64, 96, 3)).astype(np.uint8))
+        _write_png(str(base / "Depth/Stereo_Right/Omni_F" / f"{name}.png"),
+                   rng.randint(0, 5000, (64, 96)).astype(np.uint16))
+        lab_dir = base / "GT/LABELS_NPY/Stereo_Right/Omni_F"
+        os.makedirs(lab_dir, exist_ok=True)
+        np.save(str(lab_dir / f"{name}.npy"),
+                rng.randint(0, 23, (64, 96)).astype(np.uint8))
+    with open(base / "train_test_split.json", "w") as f:
+        json.dump({"trainset": names[:4], "testset": names[4:]}, f)
+    return str(tmp_path / "synthia")
+
+
+def test_synthia_cityscapes_driver(synthia_rand_tree):
+    from modular_semantic_segmentation_tpu.datasets.synthia_cityscapes \
+        import SynthiaCityscapes
+    data = SynthiaCityscapes(base_path=synthia_rand_tree)
+    assert data.num_classes == 12
+    assert len(data.measureset) == 1 and len(data.testset) == 1
+    blob = data.get_testset().get_blob(0)
+    assert blob["rgb"].shape == (64, 96, 3)
+    assert blob["depth"].shape == (64, 96, 1)
+    # remap: nothing above 11 without lanemarkings
+    assert blob["labels"].max() <= 11
+    # lanemarkings variant exposes class 12
+    data13 = SynthiaCityscapes(base_path=synthia_rand_tree,
+                               labels={"lanemarkings": True})
+    assert data13.num_classes == 13
+    # training format applies crop augmentation (crop size 240 > image, so
+    # disable crop to keep the tiny fixture valid)
+    data_aug = SynthiaCityscapes(
+        base_path=synthia_rand_tree,
+        augmentation={"crop": [1, 32], "scale": False, "vflip": False,
+                      "hflip": False, "gamma": False, "rotate": False,
+                      "shear": False, "contrast": False,
+                      "brightness": False})
+    blob = data_aug._get_data(image_name="0000004", training_format=True)
+    assert blob["rgb"].shape == (32, 32, 3)
+
+
+def test_synthia_rand_driver_mapping(synthia_rand_tree):
+    from modular_semantic_segmentation_tpu.datasets.synthia_rand import \
+        SynthiaRand
+    data = SynthiaRand(base_path=synthia_rand_tree + "/RAND_CITYSCAPES")
+    assert data.num_classes == 13
+    blob = data.get_testset().get_blob(0)
+    assert blob["labels"].max() <= 12
+    # truck (18) and bus (19) both map to vehicle (8)
+    assert data.label_lookup[18] == data.label_lookup[19] == 8
+
+
+@pytest.fixture()
+def cityscapes_tree(tmp_path):
+    rng = np.random.RandomState(1)
+    base = tmp_path / "cityscapes"
+    sets = {"train": ["aachen", "bochum", "ulm"],
+            "val": ["munster", "frankfurt", "lindau"]}
+    for fileset, cities in sets.items():
+        for city in cities:
+            for i in range(3):
+                stem = f"{city}_{i:06d}_000019"
+                _write_png(str(base / "leftImg8bit_trainvaltest/leftImg8bit"
+                               / fileset / city /
+                               f"{stem}_leftImg8bit.png"),
+                           rng.randint(0, 255, (64, 96, 3)).astype(
+                               np.uint8))
+                _write_png(str(base / "disparity_trainvaltest/disparity" /
+                               fileset / city / f"{stem}_disparity.png"),
+                           rng.randint(0, 5000, (64, 96)).astype(
+                               np.uint16))
+                _write_png(str(base / "gtFine_trainvaltest/gtFine" /
+                               fileset / city /
+                               f"{stem}_gtFine_labelIds.png"),
+                           rng.randint(0, 34, (64, 96)).astype(np.uint8))
+    return str(base)
+
+
+def test_cityscapes_driver(cityscapes_tree):
+    from modular_semantic_segmentation_tpu.datasets.cityscapes import \
+        Cityscapes
+    data = Cityscapes(base_path=cityscapes_tree,
+                      cities=["aachen", "bochum", "ulm"])
+    assert len(data.testset) == 9  # 3 val cities x 3
+    blob = data.get_testset().get_blob(0)
+    assert blob["labels"].max() <= 11
+    assert blob["depth"].shape == (64, 96, 1)
+    # mapping spot checks: wall(12)->building(2), bike(33)->bicycle(11)
+    assert data.label_lookup[12] == 2
+    assert data.label_lookup[33] == 11
+    assert data.label_lookup[0] == 0
+    mask = data.get_ego_vehicle_mask(data.testset[0]["image_path"])
+    assert set(np.unique(mask["labels"])) <= {0, 1}
+
+
+def test_cityscapes_variants(cityscapes_tree):
+    from modular_semantic_segmentation_tpu.datasets.cityscapes_a import \
+        CityscapesA
+    from modular_semantic_segmentation_tpu.datasets.cityscapes_b import \
+        CityscapesB
+    a = CityscapesA(base_path=cityscapes_tree)
+    # measureset = ulm + bochum images
+    assert len(a.measureset) == 6
+    assert all("ulm" in i["image_path"] or "bochum" in i["image_path"]
+               for i in a.measureset)
+    b = CityscapesB(base_path=cityscapes_tree)
+    assert all("munster" in i["image_path"] for i in b.measureset)
+    assert all(("frankfurt" in i["image_path"]) or
+               ("lindau" in i["image_path"]) for i in b.testset)
+
+
+def test_pascalvoc_driver(tmp_path):
+    from modular_semantic_segmentation_tpu.datasets.pascalvoc import (
+        PascalVOC, LABELINFO)
+    rng = np.random.RandomState(2)
+    base = tmp_path / "voc"
+    names = [f"img{i}" for i in range(5)]
+    os.makedirs(base / "ImageSets/Segmentation", exist_ok=True)
+    with open(base / "ImageSets/Segmentation/train.txt", "w") as f:
+        f.write("\n".join(names[:3]) + "\n")
+    with open(base / "ImageSets/Segmentation/val.txt", "w") as f:
+        f.write("\n".join(names[3:]) + "\n")
+    for name in names:
+        _write_png(str(base / "JPEGImages" / f"{name}.jpg"),
+                   rng.randint(0, 255, (48, 48, 3)).astype(np.uint8))
+        # paint label image with class colors 0, 7 and one unknown color
+        lab = np.zeros((48, 48, 3), np.uint8)
+        r, g, b = LABELINFO[7]["color"]
+        lab[10:20, 10:20] = [b, g, r]
+        lab[0:5, 0:5] = [1, 2, 3]  # unknown -> ignore
+        _write_png(str(base / "SegmentationClass" / f"{name}.png"), lab)
+    data = PascalVOC(base_path=str(base))
+    blob = data.get_testset().get_blob(0)
+    assert blob["labels"][15, 15] == 7
+    assert blob["labels"][2, 2] == -1  # unknown color ignored
+    assert blob["labels"][40, 40] == 0
+
+
+def test_mixed_data():
+    from modular_semantic_segmentation_tpu.datasets import get_dataset
+    from modular_semantic_segmentation_tpu.datasets.mixed_data import \
+        MixedData
+    d1 = get_dataset("unittest")(height=32, width=32, num_train=4)
+    d2 = get_dataset("unittest")(height=32, width=32, num_train=4)
+    mixed = MixedData([d1, d2], [2, 1])
+    batch = mixed.next()
+    assert batch["rgb"].shape[0] == 3
+    it = mixed.get_trainset().batches(3, repeat=True)
+    assert next(it)["labels"].shape[0] == 3
