@@ -1,0 +1,106 @@
+"""Exact fast path for the frozen bilinear transposed convolutions.
+
+The reference's deconvolutions are always FROZEN bilinear-interpolation
+kernels, diagonal over channels (custom_layers.py:71-121). Lowered as a
+dense lhs-dilated convolution, the 16x16/stride-8 decoder deconv runs ~3 ms
+per expert on a v5e at 768x384 — yet mathematically each output pixel is a
+(k/s)^2-tap (4-tap for k=2s) interpolation of the low-res feature map.
+
+This module phase-decomposes the transposed conv: for output phase (p, q)
+within each s x s block, the contributing kernel taps and input offsets are
+fixed, so upsampling becomes one small einsum over 4 shifted copies of the
+input — ~14x faster, bit-identical to lax.conv_transpose(SAME,
+transpose_kernel=True) for diagonal kernels (validated in
+tests/test_fast_upsample.py against tf.nn.conv2d_transpose).
+"""
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _same_pad_lo(kernel, stride):
+    """Leading pad of the equivalent lhs-dilated conv for conv_transpose
+    SAME padding with k % s == 0 (out = in * s)."""
+    return kernel - stride + (stride - 1) // 2
+
+
+@lru_cache(maxsize=None)
+def _phase_tables(k, s):
+    """Per-phase tap weights index tables.
+
+    Returns (offsets, tap_index) where
+        offsets: sorted list of input offsets o used by any phase,
+        tap_index: int array [s, taps] of kernel indices i per phase, and
+        offset_pos: int array [s, taps] position of each tap's offset in
+            ``offsets``.
+    """
+    pad_lo = _same_pad_lo(k, s)
+    taps = k // s
+    tap_index = np.zeros((s, taps), np.int64)
+    tap_offset = np.zeros((s, taps), np.int64)
+    for p in range(s):
+        i0 = (pad_lo - p) % s
+        for a in range(taps):
+            i = i0 + a * s
+            tap_index[p, a] = i if i < k else -1
+            tap_offset[p, a] = (p + i - pad_lo) // s if i < k else 0
+    offsets = sorted(set(tap_offset[tap_index >= 0].tolist()) | {0})
+    offset_pos = np.searchsorted(offsets, tap_offset)
+    return tuple(offsets), tap_index, offset_pos
+
+
+@lru_cache(maxsize=None)
+def _selection_tensor(k, s):
+    """Static selection tensor M[p, o, i]: 1 when output phase p uses
+    kernel tap i with input offset o (per axis)."""
+    offsets, tap_index, offset_pos = _phase_tables(k, s)
+    n_off = len(offsets)
+    taps = k // s
+    m = np.zeros((s, n_off, k), np.float32)
+    for p in range(s):
+        for a in range(taps):
+            i = tap_index[p, a]
+            if i >= 0:
+                m[p, offset_pos[p, a], i] = 1.0
+    return offsets, m
+
+
+def diagonal_upsample(x, diag_kernel, stride):
+    """Transposed-conv upsampling with a channel-diagonal kernel.
+
+    Args:
+        x: [N, H, W, C] input.
+        diag_kernel: [k, k, C] — the per-channel 2-D kernels (the diagonal
+            of the dense [k, k, C, C] transposed-conv kernel). May be a
+            traced array.
+        stride: upsampling factor s; requires k % s == 0.
+    Returns:
+        [N, H*s, W*s, C], equal to lax.conv_transpose(x, dense_kernel,
+        (s, s), 'SAME', transpose_kernel=True) when the dense kernel is
+        diagonal.
+    """
+    k = int(diag_kernel.shape[0])
+    s = int(stride)
+    assert k % s == 0, "fast path needs kernel size divisible by stride"
+    n, h, w, c = x.shape
+    offsets, m = _selection_tensor(k, s)
+
+    # correlation semantics: the conv_transpose kernel is spatially flipped
+    kern = diag_kernel[::-1, ::-1, :].astype(jnp.float32)
+    mj = jnp.asarray(m)
+    # weight table W[p, q, oy, ox, C] from the static selection tensor
+    weights = jnp.einsum("pyi,qxj,ijc->pqyxc", mj, mj, kern).astype(x.dtype)
+
+    lo = -min(offsets)
+    hi = max(offsets)
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+    shifted = jnp.stack(
+        [jnp.stack([xp[:, oy + lo:oy + lo + h, ox + lo:ox + lo + w, :]
+                    for ox in offsets], axis=0)
+         for oy in offsets], axis=0)  # [Oy, Ox, N, H, W, C]
+
+    out = jnp.einsum("pqyxc,yxnhwc->nhpwqc", weights, shifted,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n, h * s, w * s, c).astype(x.dtype)
