@@ -93,6 +93,18 @@ class DirichletFusion(FusionModel):
             return {"prediction": jnp.zeros(shape, jnp.int32),
                     "fused_score": jnp.zeros(shape + (
                         self.config["num_classes"],), jnp.float32)}
+        if self.config.get("use_pallas"):
+            # fused single-pass VMEM kernel (ops/pallas/dirichlet_kernel.py)
+            from modular_semantic_segmentation_tpu.ops.pallas import \
+                dirichlet_kernel
+            prediction = dirichlet_kernel.dirichlet_fusion_label(
+                [probs[m] for m in self.modalities],
+                [self.dirichlet_params[m] for m in self.modalities],
+                self._prior(), sigma=self.config["sigma"])
+            out = {"prediction": prediction}
+            for m in self.modalities:
+                out[f"{m}_norm_prob"] = probs[m]
+            return out
         fused = fm.dirichlet_fusion(
             [probs[m] for m in self.modalities],
             [self.dirichlet_params[m] for m in self.modalities],
