@@ -185,6 +185,10 @@ class Estimator:
         if self.output_dir is not None:
             summary_file = open(path.join(self.output_dir, "summaries.jsonl"),
                                 "a")
+        # periodic checkpoint for resume-from-step (the reference has no
+        # failure recovery — SURVEY.md §5)
+        checkpoint_interval = self.config.get("checkpoint_interval")
+
         print("INFO: Start training")
         start = time.time()
         for i in range(iterations):
@@ -192,6 +196,10 @@ class Estimator:
             self.variables, self.opt_state, loss = self._jit_train_step(
                 self.variables, self.opt_state, batch, self._next_rng())
             self.global_step += 1
+            if (checkpoint_interval and self.output_dir is not None
+                    and self.global_step % checkpoint_interval == 0):
+                self.save_checkpoint(
+                    path.join(self.output_dir, "checkpoint.pkl"))
             if i % validation_interval == 0 and validation_dataset is not None:
                 score, _ = self.score(validation_dataset)
                 if output:

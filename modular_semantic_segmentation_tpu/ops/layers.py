@@ -146,7 +146,10 @@ def deconv2d(ctx, x, filters, kernel_size, name, strides=1, activation=None,
             # lowering on TPU (ops/fast_upsample.py).
             from modular_semantic_segmentation_tpu.ops.fast_upsample import \
                 diagonal_upsample
-            diag = kernel[:, :, jnp.arange(in_ch), jnp.arange(in_ch)]
+            # numpy indices: works whether the kernel is a numpy array or a
+            # traced jax array
+            idx = np.arange(in_ch)
+            diag = kernel[:, :, idx, idx]
             out = diagonal_upsample(x.astype(dtype), diag.astype(dtype),
                                     strides[0])
         else:
