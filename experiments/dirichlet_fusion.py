@@ -3,6 +3,7 @@
 
 from sys import stdout
 
+import numpy as np
 from sklearn.model_selection import train_test_split
 
 from modular_semantic_segmentation_tpu.utils.sacred_shim import (
@@ -73,6 +74,15 @@ def fit_and_evaluate(net_config, evaluation_data, starting_weights, _run):
         _run.info["measurements"] = measurements
         _run.info["confusion_matrix"] = confusion_matrix
         _run.info["dirichlet_params"] = dirichlet_params
+        # persist the fitted parameters as the counts.npz artifact other
+        # runs can load via measurement_exp (reference
+        # uncertainty_dirichlet_mix.py:370-372, dirichlet_mix.py:65-73)
+        import tempfile
+        from os import path as _path
+        counts_file = _path.join(tempfile.gettempdir(), "counts.npz")
+        np.savez(counts_file, **{k: np.asarray(v)
+                                 for k, v in dirichlet_params.items()})
+        ex.add_artifact(counts_file, "counts.npz")
 
     print("Evaluated Dirichlet Fusion on {} data:".format(
         evaluation_data["dataset"]))

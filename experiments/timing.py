@@ -11,7 +11,6 @@ Usage: python -m experiments.timing [command] with k=v ...
 Defaults: num_units=64, num_classes=14, repetitions=50, bfloat16 compute.
 """
 
-import time
 
 import numpy as np
 
@@ -50,6 +49,7 @@ def _inputs(modalities):
 def _time(net, batch, repetitions):
     import jax
     from modular_semantic_segmentation_tpu.ops.variables import Ctx
+    from modular_semantic_segmentation_tpu.utils.profiling import time_fn
 
     rng = jax.random.PRNGKey(0)
 
@@ -62,18 +62,17 @@ def _time(net, batch, repetitions):
     device_batch = {k: jax.device_put(v) for k, v in batch.items()}
     variables = {k: jax.device_put(np.asarray(v))
                  for k, v in net.variables.items()}
-    fn(variables, device_batch).block_until_ready()
-    for _ in range(3):
-        fn(variables, device_batch).block_until_ready()
-    times = []
-    for _ in range(repetitions):
-        start = time.perf_counter()
-        fn(variables, device_batch).block_until_ready()
-        times.append(time.perf_counter() - start)
-    mean, std = float(np.mean(times)), float(np.std(times))
-    print(f"{net.name}: {mean:.4f} +- {std:.4f} s/frame "
-          f"({1.0 / mean:.1f} fps)")
-    return {"mean": mean, "std": std, "fps": 1.0 / mean}
+    result = time_fn(fn, variables, device_batch, repetitions=repetitions)
+    # The pipelined number is the chip's per-frame cost (production serving
+    # loop); the sync number includes the host<->device link round trip.
+    print(f"{net.name}: {result['pipelined_mean_s']:.4f} s/frame pipelined "
+          f"({result['pipelined_fps']:.1f} fps); "
+          f"{result['sync_mean_s']:.4f} +- {result['sync_std_s']:.4f} "
+          "s/frame sync")
+    return {"mean": result["pipelined_mean_s"],
+            "fps": result["pipelined_fps"],
+            "sync_mean": result["sync_mean_s"],
+            "sync_std": result["sync_std_s"]}
 
 
 def _expert_config(cfg, modality):
