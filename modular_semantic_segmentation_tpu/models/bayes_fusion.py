@@ -38,9 +38,12 @@ class BayesFusion(FusionModel):
             from modular_semantic_segmentation_tpu.utils.experiment import \
                 ExperimentData
             for key, exp_id in config["eval_experiments"].items():
-                self.confusion_matrices[key] = np.array(
-                    ExperimentData(exp_id).get_record()["info"]
-                    ["confusion_matrix"]["values"]).astype("float32").T
+                stored = ExperimentData(exp_id).get_record()["info"][
+                    "confusion_matrix"]
+                if isinstance(stored, dict):  # un-decoded record form
+                    stored = stored["values"]
+                self.confusion_matrices[key] = np.array(stored).astype(
+                    "float32").T
 
         FusionModel.__init__(self, name="BayesFusion", output_dir=output_dir,
                              **standard_config)

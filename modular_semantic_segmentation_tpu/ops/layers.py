@@ -28,8 +28,13 @@ BN_EPSILON = 1e-3
 
 
 def _accum_dtype(dtype):
-    """Accumulate in float32 on the MXU; never narrower than the input."""
-    return jnp.promote_types(jnp.float32, dtype)
+    """Conv output/accumulation dtype.
+
+    The TPU MXU always accumulates partial products in float32 internally;
+    requesting the compute dtype as the output keeps forward/backward conv
+    dtypes consistent (a float32 preferred_element_type over bfloat16
+    inputs breaks jax's conv VJP with mismatched-dtype errors)."""
+    return dtype
 
 
 def _pair(v):
