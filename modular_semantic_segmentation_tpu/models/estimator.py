@@ -129,9 +129,27 @@ class Estimator:
         raise NotImplementedError
 
     # ----------------------------------------------------------------- steps
+    def _preprocess(self, batch):
+        """Device-side input normalization fused into the jitted step.
+
+        config ``input_scaling``: {modality: scale | (scale, offset)}. Lets
+        the host ship compact uint8 frames and moves normalize into the
+        forward program (SURVEY.md §7 design mapping)."""
+        scaling = self.config.get("input_scaling")
+        if not scaling:
+            return batch
+        out = dict(batch)
+        for modality, spec in scaling.items():
+            if modality not in out:
+                continue
+            scale, offset = (spec if isinstance(spec, (tuple, list))
+                             else (spec, 0.0))
+            out[modality] = out[modality].astype(jnp.float32) * scale + offset
+        return out
+
     def _train_step(self, variables, opt_state, batch, rng):
         num_classes = self.config["num_classes"]
-        train_batch = dict(batch)
+        train_batch = dict(self._preprocess(batch))
         train_batch["labels"] = jax.nn.one_hot(
             batch["labels"], num_classes, dtype=jnp.float32)
         train_vars, frozen_vars = split_trainable(variables, self.trainable)
@@ -153,7 +171,7 @@ class Estimator:
     def _eval_step(self, variables, batch, rng):
         ctx = Ctx(variables, train=False, rng=rng,
                   compute_dtype=self.compute_dtype)
-        out = self._test_outputs(ctx, batch)
+        out = self._test_outputs(ctx, self._preprocess(batch))
         if "labels" in batch:
             out["confusion_matrix"] = metrics_lib.confusion_matrix(
                 out["prediction"], batch["labels"],

@@ -110,3 +110,25 @@ def test_context_manager(data):
             data_description=data.get_data_description()) as net:
         assert net.name == "SimpleFCN"
     assert net._closed
+
+
+def test_device_side_input_scaling(data):
+    """config input_scaling normalizes on device inside the jitted step."""
+    import jax
+    kwargs = dict(prefix="rgb", modality="rgb", num_units=4,
+                  data_description=data.get_data_description(), batchsize=2,
+                  seed=11)
+    plain = get_model("simple_fcn")(**kwargs)
+    scaled = get_model("simple_fcn")(input_scaling={"rgb": [1 / 255.0, -0.5]},
+                                     **kwargs)
+    scaled.variables = dict(plain.variables)
+    batch = next(data.get_testset().batches(2))
+    manual = dict(batch)
+    manual["rgb"] = batch["rgb"] / 255.0 - 0.5
+    out_scaled = scaled._jit_eval_step(scaled.variables, batch,
+                                       jax.random.PRNGKey(0))
+    out_manual = plain._jit_eval_step(plain.variables, manual,
+                                      jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out_scaled["prob"]),
+                               np.asarray(out_manual["prob"]), rtol=1e-5,
+                               atol=1e-6)
