@@ -136,6 +136,21 @@ class DataBaseclass(DataWrapper):
         src = self._source(items)
         return src if tf_dataset else src.as_dict()
 
+    def get_set_data(self, setlist, training_format=False):
+        """DataSource over an explicit item list (reference experiments use
+        this for custom splits, e.g. dirichlet_fusion.py:32)."""
+        return self._source(setlist, training_format=training_format)
+
+    # older accessor names used by parts of the reference experiment layer
+    def get_measure_data(self, *args, **kwargs):
+        return self.get_measureset(*args, **kwargs)
+
+    def get_test_data(self, *args, **kwargs):
+        return self.get_testset(*args, **kwargs)
+
+    def get_validation_data(self, *args, **kwargs):
+        return self.get_validation_set(*args, **kwargs)
+
     def next(self):
         """DataWrapper interface: a random training batch of one item."""
         src = self.get_trainset()

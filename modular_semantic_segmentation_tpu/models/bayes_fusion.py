@@ -65,3 +65,15 @@ class BayesFusion(FusionModel):
             out[f"{m}_likelihood"] = ll_
             out[f"{m}_conditional"] = cond
         return out
+
+    def get_insight(self, data):
+        """Per-pixel fusion diagnostics for a batch dict: (probs,
+        likelihoods, conditionals, prediction) per modality order
+        (reference bayes_fusion.py:54-61 collect_data consumer)."""
+        probs = [self.predict(data, output_attr=f"{m}_prob")
+                 for m in self.modalities]
+        likelihoods = [self.predict(data, output_attr=f"{m}_likelihood")
+                       for m in self.modalities]
+        conditionals = [self.predict(data, output_attr=f"{m}_conditional")
+                        for m in self.modalities]
+        return probs, likelihoods, conditionals, self.predict(data)

@@ -90,9 +90,12 @@ class DirichletFusion(FusionModel):
             # measurement phase: no fusion defined yet
             # (reference dirichlet_mix.py:165-168)
             shape = expert_outputs[self.modalities[0]]["classification"].shape
-            return {"prediction": jnp.zeros(shape, jnp.int32),
-                    "fused_score": jnp.zeros(shape + (
-                        self.config["num_classes"],), jnp.float32)}
+            out = {"prediction": jnp.zeros(shape, jnp.int32),
+                   "fused_score": jnp.zeros(shape + (
+                       self.config["num_classes"],), jnp.float32)}
+            for m in self.modalities:
+                out[f"{m}_norm_prob"] = probs[m]
+            return out
         if self.config.get("use_pallas"):
             # fused single-pass VMEM kernel (ops/pallas/dirichlet_kernel.py)
             from modular_semantic_segmentation_tpu.ops.pallas import \
@@ -170,6 +173,18 @@ class DirichletFusion(FusionModel):
         # re-specialize the jitted eval step with the fitted constants
         # (the functional analogue of the reference's graph rebuild)
         self._jit_eval_step = jax.jit(self._eval_step)
+
+    def prediction_difference(self, data):
+        """Per-branch diagnostics for the given data: fused label/score and
+        each expert's normalized probabilities
+        (reference dirichlet_mix.py:275-294)."""
+        ret = {"fused_label": self.predict(data),
+               "fused_score": self.predict(data,
+                                           output_attr="fused_score")}
+        for m in self.modalities:
+            ret[f"{m}_prob"] = self.predict(data,
+                                            output_attr=f"{m}_norm_prob")
+        return ret
 
     def fit(self, data, *args, **kwargs):
         """Fit the Dirichlet parameters on the measure set. Returns the

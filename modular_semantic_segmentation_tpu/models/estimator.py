@@ -249,7 +249,14 @@ class Estimator:
         for batch, valid in iterate_batches(data, self.config["batchsize"],
                                             pad=True):
             out = self._jit_eval_step(self.variables, batch, self._next_rng())
-            value = out[attr] if attr in out else getattr(self, attr)
+            if attr in out:
+                value = out[attr]
+            elif hasattr(self, attr):
+                value = getattr(self, attr)
+            else:
+                raise AttributeError(
+                    f"unknown output_attr '{attr}'; this model produces "
+                    f"{sorted(k for k in out if k != 'confusion_matrix')}")
             outputs.append(np.asarray(value)[:valid])
         return np.concatenate(outputs)
 
