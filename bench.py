@@ -59,23 +59,33 @@ def main():
 
     fn = jax.jit(forward)
     device_batch = {k: jax.device_put(v) for k, v in batch.items()}
-    variables = {k: jax.device_put(np.asarray(v))
-                 for k, v in net.variables.items()}
+    # variables are already device-resident; device_put is a no-op then
+    variables = {k: jax.device_put(v) for k, v in net.variables.items()}
 
-    # compile + warmup
-    fn(variables, device_batch).block_until_ready()
-    for _ in range(3):
-        fn(variables, device_batch).block_until_ready()
+    # distinct input batches so no runtime layer can dedup identical calls
+    rng_np = np.random.RandomState(1)
+    batches = [{k: jax.device_put(np.asarray(
+        rng_np.rand(*np.shape(v)) * (255 if k == "rgb" else 1), np.float32))
+        for k, v in batch.items()} for _ in range(8)]
 
-    # Pipelined throughput: issue all requests, block once. The TPU here
-    # sits behind a network tunnel with ~30 ms round-trip latency; a
-    # sync-per-frame loop measures the tunnel, not the chip (the reference
-    # likewise excludes host<->device transfer, Inference Time.ipynb
-    # cell 4). Async dispatch is also how a production serving loop runs.
+    # compile + warmup (np.asarray forces real completion — on a tunneled
+    # device block_until_ready can return before execution finishes)
+    np.asarray(fn(variables, device_batch))
+    for b in batches[:3]:
+        np.asarray(fn(variables, b))
+
+    # Pipelined throughput: issue all requests, then read back the LAST
+    # output — the device executes serially, so the readback bounds every
+    # prior execution. The TPU here sits behind a network tunnel with
+    # ~30 ms round-trip latency; a sync-per-frame loop measures the
+    # tunnel, not the chip (the reference likewise excludes host<->device
+    # transfer, Inference Time.ipynb cell 4). Async dispatch is also how a
+    # production serving loop runs.
     repetitions = 100
     start = time.perf_counter()
-    outs = [fn(variables, device_batch) for _ in range(repetitions)]
-    jax.block_until_ready(outs)
+    outs = [fn(variables, batches[i % len(batches)])
+            for i in range(repetitions)]
+    np.asarray(outs[-1])
     mean_spf = (time.perf_counter() - start) / repetitions
     fps = 1.0 / mean_spf
 

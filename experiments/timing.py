@@ -60,8 +60,8 @@ def _time(net, batch, repetitions):
 
     fn = jax.jit(forward)
     device_batch = {k: jax.device_put(v) for k, v in batch.items()}
-    variables = {k: jax.device_put(np.asarray(v))
-                 for k, v in net.variables.items()}
+    # variables are already device-resident; device_put is a no-op then
+    variables = {k: jax.device_put(v) for k, v in net.variables.items()}
     result = time_fn(fn, variables, device_batch, repetitions=repetitions)
     # The pipelined number is the chip's per-frame cost (production serving
     # loop); the sync number includes the host<->device link round trip.

@@ -295,6 +295,10 @@ class Estimator:
         self.variables, report = params_lib.import_weights(
             self.variables, filepath, translate_prefix=translate_prefix,
             chill_mode=chill_mode, warnings=warnings)
+        # keep the variable dict device-resident so eval-only models do not
+        # re-upload weights on every predict/score call
+        self.variables = {k: jax.device_put(v)
+                          for k, v in self.variables.items()}
         return report
 
     def load_weights(self, filepath):
@@ -304,7 +308,7 @@ class Estimator:
             return
         with open(filepath, "rb") as f:
             state = pickle.load(f)
-        self.variables = {k: np.asarray(v)
+        self.variables = {k: jax.device_put(np.asarray(v))
                           for k, v in state["variables"].items()}
         self.global_step = int(state.get("global_step", 0))
         if state.get("opt_state") is not None and self.opt_state is not None:

@@ -65,14 +65,15 @@ def bilinear_filter_initializer(ctx, shape):
 
 def selection(values):
     """Initialize to a random pick from ``values`` (scalars broadcast to the
-    full requested shape). Reference custom_layers.py:28-68."""
+    full requested shape). Reference custom_layers.py:28-68. Trace-safe."""
     def _init(ctx, shape):
-        vals = np.asarray(values, np.float32)
-        idx = int(jax.random.randint(ctx.next_rng(), (), 0, len(vals)))
-        if vals.ndim == 1 and np.isscalar(values[0]) or isinstance(
-                values[0], (int, float)):
-            return np.full(shape, vals[idx], np.float32)
-        return np.asarray(values[idx], np.float32)
+        idx = jax.random.randint(ctx.next_rng(), (), 0, len(values))
+        if isinstance(values[0], (int, float)):
+            vals = jnp.asarray(values, jnp.float32)
+            return jnp.full(shape, vals[idx])
+        stacked = jnp.asarray(np.stack([np.asarray(v, np.float32)
+                                        for v in values]))
+        return stacked[idx]
     return _init
 
 
@@ -90,15 +91,16 @@ def half_zeros(only_dampened=True):
         half = dim_in // 2
 
         def xavier():
-            return np.asarray(
-                glorot_uniform(ctx, (kh, kw, half, dim_out)), np.float32)
+            return glorot_uniform(ctx, (kh, kw, half, dim_out))
 
-        first = 0.1 * xavier() if only_dampened else np.zeros(
-            (kh, kw, half, dim_out), np.float32)
+        first = (0.1 * xavier() if only_dampened
+                 else jnp.zeros((kh, kw, half, dim_out), jnp.float32))
         if dim_in == 2 * dim_out:
             second = np.zeros((kh, kw, half, dim_out), np.float32)
             second[kh // 2, kw // 2, :, :] = np.eye(dim_out)
+            second = jnp.asarray(second)
         else:
             second = xavier()
-        return np.concatenate([first, second], axis=2)
+        return jnp.concatenate([jnp.asarray(first, jnp.float32), second],
+                               axis=2)
     return _init

@@ -39,12 +39,14 @@ class Ctx:
     """
 
     def __init__(self, variables=None, train=False, rng=None, init=False,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, abstract=False):
         self.variables = variables if variables is not None else {}
         self.created = {}
         self.trainable = {}
+        self.specs = {}
         self.train = train
         self.init = init
+        self.abstract = abstract
         self.updates = {}
         self.compute_dtype = compute_dtype
         self._rng = rng
@@ -83,8 +85,15 @@ class Ctx:
             raise KeyError(
                 f"Variable '{full}' not found (available: "
                 f"{len(self.variables)} vars). Did you run init first?")
+        shape = tuple(int(s) for s in shape)
+        if self.abstract:
+            # shape-discovery pass: record the spec, return a placeholder
+            if full not in self.specs:
+                self.specs[full] = (shape, initializer)
+                self.trainable[full] = bool(trainable)
+            return jnp.zeros(shape, jnp.float32)
         if full not in self.created:
-            value = initializer(self, tuple(int(s) for s in shape))
+            value = initializer(self, shape)
             self.created[full] = jnp.asarray(value, jnp.float32)
             self.trainable[full] = bool(trainable)
         return self.created[full]
@@ -98,15 +107,37 @@ def init_variables(net_fn, rng, *example_args, compute_dtype=jnp.float32,
                    **example_kwargs):
     """Run ``net_fn(ctx, *example_args)`` in init mode and collect variables.
 
-    Returns (variables, trainable) — two flat dicts. Uses ``jax.eval_shape``-free
-    concrete evaluation so shape-dependent constant initializers (bilinear
-    kernels) work; example args should be small.
+    Returns (variables, trainable) — two flat dicts, in two phases:
+
+    1. shape discovery under ``jax.eval_shape`` (no FLOPs, no compile):
+       the network runs on placeholders, recording every variable's
+       (shape, initializer);
+    2. one small jitted program evaluating just the initializers — a
+       single dispatch instead of compiling the full forward pass or
+       making thousands of eager round trips to a remote accelerator.
     """
-    ctx = Ctx(variables={}, train=False, rng=rng, init=True,
-              compute_dtype=compute_dtype)
-    net_fn(ctx, *example_args, **example_kwargs)
-    variables = {k: np.asarray(v) for k, v in ctx.created.items()}
-    return variables, dict(ctx.trainable)
+    discover_ctx = Ctx(variables={}, train=False, rng=jax.random.PRNGKey(0),
+                       init=True, compute_dtype=compute_dtype, abstract=True)
+
+    def discover(_):
+        net_fn(discover_ctx, *example_args, **example_kwargs)
+        return ()
+
+    jax.eval_shape(discover, 0)
+    specs = dict(discover_ctx.specs)
+    trainable = dict(discover_ctx.trainable)
+
+    def create(rng):
+        ctx = Ctx(variables={}, train=False, rng=rng, init=True,
+                  compute_dtype=compute_dtype)
+        return {name: jnp.asarray(initializer(ctx, shape), jnp.float32)
+                for name, (shape, initializer) in specs.items()}
+
+    created = jax.jit(create)(rng)
+    # variables stay DEVICE-resident: pulling them to host costs a full
+    # weight download over the (possibly remote) device link, and every
+    # consumer is a jitted step anyway. Export paths pull on demand.
+    return dict(created), trainable
 
 
 def split_trainable(variables, trainable):

@@ -49,7 +49,15 @@ def time_fn(fn, *args, repetitions=50, warmup=3):
 
     start = time.perf_counter()
     outs = [fn(*args) for _ in range(repetitions)]
-    jax.block_until_ready(outs)
+    # host readback of the last output: the device executes serially, so
+    # this bounds every prior execution (block_until_ready can return
+    # early on tunneled devices)
+    last = outs[-1]
+    if isinstance(last, dict):
+        last = next(iter(last.values()))
+    elif isinstance(last, (tuple, list)):
+        last = last[-1]
+    np.asarray(last)
     pipelined = (time.perf_counter() - start) / repetitions
 
     return {
