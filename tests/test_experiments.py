@@ -163,3 +163,46 @@ def test_sacred_shim_parsing():
     assert cfg == {"a": {"b": {"c": 5}}}
     assert apply_backspaces_and_linefeeds("abc\rdef") == "def"
     assert apply_backspaces_and_linefeeds("ab\bc") == "ac"
+
+
+def test_uncertainty_eval_cli(storage, training_run):
+    """measure command: NLL + uncertainty value distributions with a
+    MC-dropout model warm-started from a training run."""
+    result = _run_cli(
+        "experiments.uncertainty_eval",
+        ["measure", "with",
+         "modelname=bayesian_fcn",
+         f"starting_weights={training_run}",
+         "dataset.name=unittest", "dataset.height=32", "dataset.width=32",
+         "dataset.num_test=2",
+         'uncertainty_metrics=["entropy", "variance"]',
+         "net_config.prefix=rgb", "net_config.modality=rgb",
+         "net_config.num_units=4", "net_config.batchsize=2",
+         "net_config.num_samples=2", "net_config.dropout_rate=0.3"],
+        storage, timeout=1200)
+    run_dirs = sorted(int(d) for d in
+                      os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+                      if d.isdigit())
+    info = json.load(open(os.path.join(
+        storage["EXPERIMENT_STORAGE_FOLDER"], str(run_dirs[-1]),
+        "info.json")))
+    assert "nll" in info["measurements"]
+    assert "entropy" in info["measurements"]
+    del result
+
+
+def test_finetuning_cli_rgb_to_depth(storage, training_run):
+    """Cross-modal kernel surgery + retrain (reference finetuning.py)."""
+    result = _run_cli(
+        "experiments.finetuning",
+        ["rgb_to_depth", "with",
+         'starting_weights={"experiment_id": %d, "prefix": "rgb"}'
+         % training_run,
+         "num_iterations=2",
+         "data_config.dataset=unittest", "data_config.height=32",
+         "data_config.width=32", "data_config.num_train=6",
+         "data_config.num_test=2",
+         "net_config.prefix=rgb", "net_config.modality=depth",
+         "net_config.num_units=4", "net_config.batchsize=2"],
+        storage, timeout=1200)
+    assert "Training finished" in result.stdout
