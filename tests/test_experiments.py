@@ -206,3 +206,28 @@ def test_finetuning_cli_rgb_to_depth(storage, training_run):
          "net_config.num_units=4", "net_config.batchsize=2"],
         storage, timeout=1200)
     assert "Training finished" in result.stdout
+
+
+def test_dirichlet_fusion_cli(storage, training_run):
+    """fit_and_evaluate: EM fit on the measure split + counts.npz artifact
+    (loadable later via measurement_exp)."""
+    result = _run_cli(
+        "experiments.dirichlet_fusion",
+        ["with",
+         "evaluation_data.dataset=unittest", "evaluation_data.height=32",
+         "evaluation_data.width=32", "evaluation_data.num_train=6",
+         "evaluation_data.num_measure=2", "evaluation_data.num_test=4",
+         "net_config.num_units=4", "net_config.batchsize=2",
+         "net_config.expert_model=fcn", "net_config.sigma=0.1",
+         'net_config.prefixes={"rgb": "rgb", "depth": "depth"}',
+         f"starting_weights={training_run}"],
+        storage, timeout=1800)
+    assert "Evaluated Dirichlet Fusion" in result.stdout
+    run_id = max(int(d) for d in
+                 os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+                 if d.isdigit())
+    run_dir = os.path.join(storage["EXPERIMENT_STORAGE_FOLDER"],
+                           str(run_id))
+    assert "counts.npz" in os.listdir(run_dir)
+    counts = np.load(os.path.join(run_dir, "counts.npz"))
+    assert set(counts.files) == {"rgb", "depth", "class_counts"}
