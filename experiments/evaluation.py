@@ -62,6 +62,10 @@ def import_weights_into_network(net, starting_weights, **kwargs):
           translation; list -> sequential imports.
     """
     def import_one(description, prefix=False):
+        # chill_mode here only relaxes warnings; shape-mismatched weights
+        # are skipped, never force-assigned (see models/params.py
+        # import_weights docstring for the documented deviation from the
+        # reference's chill-mode assignment attempt, base_model.py:438-445).
         if description == "paul_adapnet":
             net.import_weights(
                 os.path.join(DATA_BASEPATH, "Adapnet_weights_160000.npz"),

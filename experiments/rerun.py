@@ -15,8 +15,10 @@ import experiments.different_evaluation_parameters as \
     different_evaluation_parameters
 import experiments.dirichlet_fusion as dirichlet_fusion
 import experiments.uncertainty_eval as uncertainty_eval
+import experiments.report as report
 
 module_mapper = {
+    "report.py": report,
     "bayes_fusion.py": bayes_fusion,
     "timing.py": timing,
     "training.py": training,

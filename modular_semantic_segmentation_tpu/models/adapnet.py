@@ -102,13 +102,18 @@ def adapnet(ctx, inputs, prefix, num_units, num_classes):
                                 "block_layer_16")
         deconv_1 = ll.conv2d(ctx, l["block_16"], 2048, 1,
                              "first_deconvolution_conv", **params)
+        # unlike SimpleFCN's frozen deconvs, AdapNet's upconvolutions are
+        # TRAINABLE (reference adapnet.py:158-168 leaves the deconv2d
+        # default trainable=True); they only start from the bilinear init
         l["deconv_1"] = ll.deconv2d(ctx, deconv_1, num_units, 4,
                                     "first_deconvolution_upconv", strides=2,
-                                    activation=None, batch_normalization=True)
+                                    activation=None, batch_normalization=True,
+                                    trainable=True)
         l["merge"] = l["deconv_1"] + l["shortcut"]
         l["score"] = ll.deconv2d(ctx, l["merge"], num_classes, 16,
                                  "second_deconvolution_upconv", strides=8,
-                                 activation=None, batch_normalization=True)
+                                 activation=None, batch_normalization=True,
+                                 trainable=True)
     return l
 
 

@@ -55,8 +55,15 @@ def import_weights(variables, filepath, translate_prefix=False,
         * optimizer slot variables ('grad'/'Adam'/'RMS' in the name) skipped;
         * a name also matches if its first '/' is replaced by '_' (vgg16-style
           flat naming, base_model.py:435-437);
-        * shape mismatches are skipped (with a warning); ``chill_mode``
-          silences the failure for them.
+        * shape mismatches are ALWAYS skipped (with a warning); ``chill_mode``
+          only changes the warning text. This is an intentional deviation:
+          the reference's chill_mode=True *attempts* the mismatched
+          ``variable.assign`` (base_model.py:438-445), which TF1 rejects at
+          graph-build time for genuinely incompatible shapes — so the
+          reference either crashed or (for compatible unknown dims)
+          assigned. Here cross-modal first-layer surgery is done explicitly
+          by experiments/finetuning.py (tile/mean of conv1_1) BEFORE import,
+          so a mismatch surviving to this point is always a skip.
     """
     if warnings:
         print(filepath)

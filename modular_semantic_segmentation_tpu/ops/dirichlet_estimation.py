@@ -152,44 +152,159 @@ def _ipsi(y, tol=1.48e-9, maxiter=10):
     return x
 
 
+def loglikelihood_from_statistic(ss, n_obs, alphas, delta=1e-2):
+    """delta-penalized Dirichlet log-likelihood from the mean-log-prob
+    sufficient statistic (reference dirichlet_fastfit.py:141-155)."""
+    alphas = np.asarray(alphas, np.float64)
+    return (n_obs * (special.gammaln(alphas.sum())
+                     - special.gammaln(alphas).sum()
+                     + np.dot(alphas - 1, ss))
+            - delta * np.square(alphas).sum())
+
+
 def fixedpoint_with_sufficient_statistic(ss, n_obs, num_classes, init_alphas,
-                                         maxiter=10000, tol=1e-7, delta=0.0):
-    """Minka fixed-point iteration a_k <- ipsi(psi(sum a) + ss_k), with an
-    optional delta shrinkage on the statistic."""
-    ss = np.asarray(ss, np.float64) - delta
+                                         maxiter=10000, tol=1e-7, delta=1e-2):
+    """Minka fixed-point iteration a_k <- ipsi(psi(sum a) + ss_k),
+    converging on the penalized log-likelihood difference
+    (reference dirichlet_fastfit.py:236-249)."""
+    ss = np.asarray(ss, np.float64)
     a = np.array(init_alphas, np.float64, copy=True)
     for _ in range(maxiter):
         a_new = _ipsi(special.psi(a.sum()) + ss)
-        if np.abs(a_new - a).max() < tol:
+        if abs(loglikelihood_from_statistic(ss, n_obs, a_new, delta)
+               - loglikelihood_from_statistic(ss, n_obs, a, delta)) < tol:
             return a_new
         a = a_new
     return a
+
+
+def _fit_s(a0, ss, tol=1e-7, maxiter=1000, delta=1e-2):
+    """Maximize the precision s = sum(a) with the mean held fixed, via
+    Minka's cascade of update rules (reference dirichlet_fastfit.py:282-309)."""
+    s1 = a0.sum()
+    m = a0 / s1
+    m_dot_ss = np.dot(m, ss)
+    for _ in range(maxiter):
+        s0 = s1
+        g = (special.psi(s1) - np.dot(m, special.psi(s1 * m)) + m_dot_ss
+             - 2 * delta * s1)
+        h = (special.polygamma(1, s1)
+             - np.dot(np.square(m), special.polygamma(1, s1 * m))
+             - 2 * delta)
+        if g + s1 * h < 0:
+            s1 = 1.0 / (1.0 / s0 + g / h / s0 ** 2)
+        if s1 <= 0:
+            s1 = s0 * np.exp(-g / (s0 * h + g))   # Newton on log s
+        if s1 <= 0:
+            s1 = 1.0 / (1.0 / s0 + g / (s0 ** 2 * h + 2 * s0 * g))  # on 1/s
+        if s1 <= 0:
+            s1 = s0 - g / h                       # plain Newton
+        if s1 <= 0:
+            raise FloatingPointError(f"unable to update s from {s0}")
+        if abs(s1 - s0) < tol:
+            return s1 * m
+    raise FloatingPointError(f"precision fit did not converge, s={s1}")
+
+
+def _fit_m(a0, ss, tol=1e-7, maxiter=1000):
+    """Maximize the mean with the precision held fixed
+    (reference dirichlet_fastfit.py:311-324)."""
+    s = a0.sum()
+    for _ in range(maxiter):
+        m = a0 / s
+        a1 = _ipsi(ss + np.dot(m, special.psi(a0) - ss))
+        a1 = a1 / a1.sum() * s
+        if np.linalg.norm(a1 - a0) < tol:
+            return a1
+        a0 = a1
+    raise FloatingPointError(f"mean fit did not converge, s={s}")
 
 
 def meanprecision_with_sufficient_statistic(ss, n_obs, num_classes,
                                             init_alphas, maxiter=10000,
-                                            tol=1e-7, delta=0.0):
-    """Minka mean/precision alternating updates from sufficient statistics."""
-    ss = np.asarray(ss, np.float64) - delta
+                                            tol=1e-7, delta=1e-2):
+    """Minka mean/precision alternating MLE from sufficient statistics
+    (reference dirichlet_fastfit.py:252-280): alternate :func:`_fit_s` and
+    :func:`_fit_m` until the penalized log-likelihood stops moving; on a
+    sub-solver failure return the best iterate so far, as the reference
+    does."""
+    ss = np.asarray(ss, np.float64)
     a = np.array(init_alphas, np.float64, copy=True)
     for _ in range(maxiter):
-        s0 = a.sum()
-        m = a / s0
-        # update precision s with fixed mean (Minka eq. 28 area, one Newton
-        # step on log s)
-        g = special.psi(s0) - np.dot(m, special.psi(s0 * m)) + np.dot(m, ss)
-        h = special.polygamma(1, s0) - np.dot(
-            np.square(m), special.polygamma(1, s0 * m))
-        step = g / (g / s0 + h * s0) if (g / s0 + h * s0) != 0 else 0.0
-        s1 = s0 * np.exp(step) if np.isfinite(step) else s0
-        # update mean with fixed precision via fixed point
-        m_new = _ipsi(ss + np.dot(m, special.psi(s1 * m) - ss))
-        m_new = m_new / m_new.sum()
-        a_new = s1 * m_new
-        if np.abs(a_new - a).max() < tol:
-            return a_new
-        a = a_new
+        try:
+            a_new = _fit_s(a, ss, tol=tol, maxiter=maxiter, delta=delta)
+            a_new = _fit_m(a_new, ss, tol=tol, maxiter=maxiter)
+            if abs(loglikelihood_from_statistic(ss, n_obs, a_new, delta)
+                   - loglikelihood_from_statistic(ss, n_obs, a, delta)) < tol:
+                return a_new
+            a = a_new
+        except FloatingPointError:
+            return a
     return a
+
+
+def sufficient_statistic_from_samples(samples):
+    """Mean log probabilities over a sample set — the Dirichlet sufficient
+    statistic (reference dirichletDifferentiation.py:23-34
+    ``getSufficientStatistic``, vectorized)."""
+    return np.log(np.asarray(samples, np.float64)).mean(0)
+
+
+def dirichlet_loglikelihood(samples, alphas):
+    """Log-likelihood of N simplex samples under Dir(alphas)
+    (reference dirichlet_fastfit.py:118-143 ``loglikelihood``)."""
+    samples = np.asarray(samples, np.float64)
+    alphas = np.asarray(alphas, np.float64)
+    n = samples.shape[0]
+    return float(
+        n * (special.gammaln(alphas.sum()) - special.gammaln(alphas).sum())
+        + np.dot(alphas - 1, np.log(samples).sum(0)))
+
+
+def likelihood_ratio_test(samples1, samples2, method="meanprecision",
+                          maxiter=10000, delta=1e-2):
+    """Likelihood-ratio test for a difference between two sets of observed
+    proportions (reference dirichlet_fastfit.py:50-92 ``test``).
+
+    Fits Dirichlet MLEs to each set and to the pooled set; the statistic is
+    -2 log of the likelihood ratio, with a chi-squared(K) p-value as in the
+    reference.
+
+    Returns:
+        (D, p_value, a_pooled, a_1, a_2)
+    """
+    samples1 = np.asarray(samples1, np.float64)
+    samples2 = np.asarray(samples2, np.float64)
+    if samples1.shape[1] != samples2.shape[1]:
+        raise ValueError("sample sets must have the same number of columns")
+    num_classes = samples1.shape[1]
+
+    fitters = {
+        "fixedpoint": fixedpoint_with_sufficient_statistic,
+        "meanprecision": meanprecision_with_sufficient_statistic,
+    }
+    try:
+        fit = fitters[method]
+    except KeyError:
+        raise ValueError(f"unknown method '{method}'") from None
+
+    def mle(samples):
+        # moment-matching init, as the reference's mle() uses
+        # (dirichlet_fastfit.py:377-381 _init_a)
+        mean = samples.mean(0)
+        sq_mean = np.square(samples).mean(0)
+        init = (mean[0] - sq_mean[0]) / (sq_mean[0] - mean[0] ** 2) * mean
+        ss = sufficient_statistic_from_samples(samples)
+        return fit(ss, samples.shape[0], num_classes, init, maxiter=maxiter,
+                   delta=delta)
+
+    pooled = np.vstack([samples1, samples2])
+    a0, a1, a2 = mle(pooled), mle(samples1), mle(samples2)
+    statistic = 2 * (dirichlet_loglikelihood(samples1, a1)
+                     + dirichlet_loglikelihood(samples2, a2)
+                     - dirichlet_loglikelihood(pooled, a0))
+    from scipy import stats
+    return statistic, float(stats.chi2.sf(statistic, num_classes)), a0, a1, a2
 
 
 def dirichlet_mle_from_samples(samples, maxiter=1000, tol=1e-9):

@@ -175,18 +175,26 @@ def dirichlet_uncertainty_fusion(probs, alphas, uncertainties, prior,
             uncertain -> parameters blended to the uninformative I + 1.
     """
     num_classes = probs[0].shape[-1]
+    uninformative = jnp.eye(num_classes, dtype=jnp.float32) + 1.0
     lls = []
     for p, a, mix in zip(probs, alphas, uncertainties):
-        a = jnp.asarray(a, jnp.float32)
-        uninformative = jnp.eye(num_classes) + 1.0
-        m = jnp.clip(mix.astype(jnp.float32), 0.0, 1.0)[..., None]
+        a = jnp.asarray(a, jnp.float32) * sigma
+        u = uninformative * sigma
+        m = jnp.clip(mix.astype(jnp.float32), 0.0, 1.0)[..., None]  # [..., 1]
         log_p = jnp.log(1e-20 + p.astype(jnp.float32))
-        # Blend the concentration per pixel, then contract. alpha_px has
-        # shape [..., K, C]; keep it as two matmuls to stay on the MXU.
-        informative_ll = dirichlet_log_likelihoods(p, a, sigma)
-        uninformative_ll = dirichlet_log_likelihoods(p, uninformative, sigma)
-        lls.append((1.0 - m) * informative_ll + m * uninformative_ll)
-        del log_p
+        # The per-pixel concentration is alpha_px = (1-m)*a + m*u, shape
+        # [..., K, C] (reference uncertainty_dirichlet_mix.py:33-36), and the
+        # log-pdf is sum_k (alpha_px_k - 1) log p_k - log B(alpha_px). The
+        # linear term is linear in alpha_px, so it splits into two MXU
+        # matmuls blended per pixel; only the nonlinear normalizer
+        # log B(alpha_px) needs the materialized per-pixel gammaln.
+        linear = ((1.0 - m) * (log_p @ a) + m * (log_p @ u)
+                  - jnp.sum(log_p, axis=-1, keepdims=True))
+        alpha_px = (1.0 - m[..., None]) * a + m[..., None] * u
+        log_beta = (jnp.sum(gammaln(alpha_px), axis=-2)
+                    - gammaln((1.0 - m) * jnp.sum(a, axis=0)
+                              + m * jnp.sum(u, axis=0)))
+        lls.append(linear - log_beta)
     fused = jnp.sum(jnp.stack(lls, axis=0), axis=0)
     return fused + jnp.log(1e-20 + jnp.asarray(prior, jnp.float32))
 

@@ -142,9 +142,22 @@ def deconv2d(ctx, x, filters, kernel_size, name, strides=1, activation=None,
                          initializers.bilinear_filter_initializer,
                          trainable=trainable)
         dtype = ctx.compute_dtype
+        # The fast path assumes a channel-diagonal kernel (true for the
+        # frozen bilinear initializer). When the kernel is concrete (eager
+        # eval / imported npz), verify that before discarding off-diagonal
+        # weights; traced kernels keep the fast path (the initializer
+        # guarantees diagonality for frozen deconvs).
+        def _channel_diagonal(k):
+            if isinstance(k, jax.core.Tracer):
+                return True
+            k_np = np.asarray(k)
+            off = k_np.copy()
+            off[:, :, np.arange(in_ch), np.arange(in_ch)] = 0.0
+            return not np.any(off)
+
         if (not trainable and int(filters) == in_ch and kh == kw
                 and strides[0] == strides[1] and kh % strides[0] == 0
-                and padding.upper() == "SAME"):
+                and padding.upper() == "SAME" and _channel_diagonal(kernel)):
             # Frozen square-channel deconvs are channel-diagonal bilinear
             # kernels (custom_layers.py:8-25); the phase-decomposed 4-tap
             # upsample is exact and ~14x faster than the lhs-dilated conv

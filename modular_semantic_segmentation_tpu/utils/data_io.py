@@ -30,12 +30,13 @@ def _pad_batch(batch, batchsize, pad_label=-1):
     return padded, n
 
 
-def _dict_to_batches(data, batchsize):
-    """Slice a dict of stacked arrays into batch dicts."""
+def _dict_to_batches(data, batchsize, order=None):
+    """Slice a dict of stacked arrays into batch dicts (optionally permuted)."""
     total = next(iter(data.values())).shape[0]
     for start in range(0, total, batchsize):
-        yield {k: np.asarray(v[start:start + batchsize])
-               for k, v in data.items()}
+        sel = (slice(start, start + batchsize) if order is None
+               else order[start:start + batchsize])
+        yield {k: np.asarray(v[sel]) for k, v in data.items()}
 
 
 def _as_batch_iterator(data, batchsize, shuffle=False, repeat=False):
@@ -47,12 +48,18 @@ def _as_batch_iterator(data, batchsize, shuffle=False, repeat=False):
     if hasattr(data, "batches"):
         return data.batches(batchsize, shuffle=shuffle, repeat=repeat)
     if isinstance(data, dict):
-        if repeat:
-            def forever():
-                while True:
-                    yield from _dict_to_batches(data, batchsize)
-            return forever()
-        return _dict_to_batches(data, batchsize)
+        total = next(iter(data.values())).shape[0]
+        # Mirror DataSource.batches: fresh permutation each epoch when
+        # shuffling (the reference shuffles its trainset too).
+        rng = np.random.RandomState(None) if shuffle else None
+
+        def epochs():
+            while True:
+                order = rng.permutation(total) if shuffle else None
+                yield from _dict_to_batches(data, batchsize, order)
+                if not repeat:
+                    return
+        return epochs()
     return iter(data)
 
 

@@ -100,3 +100,21 @@ def test_coloured_labels():
     colored = data.coloured_labels(labels)
     assert colored.shape == (2, 2, 3)
     assert colored.dtype == np.uint8
+
+
+def test_training_batches_shuffles_dict_data():
+    """Dict-of-arrays inputs must shuffle across epochs in fit()
+    (round-1 advisor finding on utils/data_io.py)."""
+    from modular_semantic_segmentation_tpu.utils.data_io import \
+        training_batches
+    n = 16
+    data = {"x": np.arange(n), "labels": np.arange(n)}
+    it = training_batches(data, 4)
+    first_epoch = np.concatenate([next(it)["x"] for _ in range(4)])
+    second_epoch = np.concatenate([next(it)["x"] for _ in range(4)])
+    # each epoch is a permutation of the full set...
+    np.testing.assert_array_equal(np.sort(first_epoch), np.arange(n))
+    np.testing.assert_array_equal(np.sort(second_epoch), np.arange(n))
+    # ...and at least one of them is actually shuffled
+    assert (not np.array_equal(first_epoch, np.arange(n))
+            or not np.array_equal(second_epoch, np.arange(n)))

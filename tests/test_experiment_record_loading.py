@@ -86,3 +86,44 @@ def test_dirichlet_fusion_from_measurement_exp(record_storage):
     }
     preds = net.predict(batch)
     assert preds.shape == (1, 32, 32)
+
+
+def test_report_quality_table(record_storage):
+    """experiments.report rebuilds the paper-style per-class IoU table
+    (reference Synthia nb cell 15 print_tables)."""
+    from experiments.report import build_quality_table
+    rng = np.random.RandomState(3)
+    k = 5
+
+    def iou():
+        return {"py/object": "numpy.ndarray",
+                "values": rng.rand(k).tolist(), "dtype": "float64"}
+
+    bayes_m = {"fusion": {"IoU": iou()}, "rgb": {"IoU": iou()},
+               "depth": {"IoU": iou()}}
+    _write_run(record_storage, 1, {"measurements": bayes_m})
+    _write_run(record_storage, 2, {"measurements": {"IoU": iou()}})
+
+    table = build_quality_table({"bayes": 1, "dirichlet": 2},
+                                class_names=["void", "a", "b", "c", "d"])
+    assert list(table.columns) == ["Dirichlet", "Bayes", "RGB", "Depth"]
+    assert list(table.index) == ["mean", "void", "a", "b", "c", "d"]
+    # mean excludes the void class (reference base_model.py:324-329)
+    np.testing.assert_allclose(table["Bayes"]["mean"],
+                               np.mean(bayes_m["fusion"]["IoU"]["values"][1:]))
+
+
+def test_report_timing_table(record_storage):
+    from experiments.report import build_timing_table
+    _write_run(record_storage, 7, {"timings": {
+        "bayes_fusion": {"sync_mean_s": 0.01, "sync_std_s": 0.001,
+                         "pipelined_mean_s": 0.008, "pipelined_fps": 125.0},
+        "custom_thing": {"sync_mean_s": 0.02, "sync_std_s": 0.002,
+                         "pipelined_mean_s": 0.02, "pipelined_fps": 50.0},
+    }})
+    table = build_timing_table(7)
+    assert table.loc["bayes_fusion", "fps"] == pytest.approx(125.0)
+    # reference Table V comparison column (0.0461 s on the GTX 1080 Ti)
+    assert table.loc["bayes_fusion", "speedup"] == pytest.approx(
+        0.0461 / 0.008)
+    assert np.isnan(table.loc["custom_thing"].get("speedup", np.nan))

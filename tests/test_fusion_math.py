@@ -135,6 +135,66 @@ def test_uncertainty_fusion_limits():
     np.testing.assert_allclose(got1, expect1, rtol=1e-4, atol=1e-5)
 
 
+def test_uncertainty_fusion_intermediate_mix_oracle():
+    """Intermediate mix must blend the CONCENTRATIONS per pixel (reference
+    uncertainty_dirichlet_mix.py:33-36), i.e. evaluate one Dirichlet at
+    alpha_px = (1-m)*alpha + m*(I+1) — NOT blend the two log-likelihoods
+    (log B is nonlinear in alpha). Oracle: per-pixel scipy Dirichlet."""
+    rng = np.random.RandomState(8)
+    k, shape = 4, (3, 5)
+    probs = [rng.dirichlet(np.ones(k), size=shape).astype(np.float32)
+             for _ in range(2)]
+    alphas = [rng.rand(k, k) * 4 + 0.5 for _ in range(2)]
+    mixes = [rng.rand(*shape).astype(np.float32) for _ in range(2)]
+    prior = np.full(k, 1 / k)
+    sigma = 1.7
+    got = np.asarray(fm.dirichlet_uncertainty_fusion(
+        [jnp.asarray(p) for p in probs], alphas,
+        [jnp.asarray(m) for m in mixes], prior, sigma=sigma))
+
+    uninf = np.eye(k) + 1.0
+    expect = np.log(prior)[None, None]
+    for p, a, m in zip(probs, alphas, mixes):
+        ll = np.zeros(shape + (k,))
+        for i in np.ndindex(*shape):
+            alpha_px = sigma * ((1 - m[i]) * a + m[i] * uninf)  # [k, k]
+            for c in range(k):
+                px = p[i].astype(np.float64)
+                ll[i + (c,)] = sp_dirichlet.logpdf(px / px.sum(),
+                                                   alpha_px[:, c])
+        expect = expect + ll
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-3)
+
+
+def test_likelihood_ratio_test():
+    """Same-distribution samples -> high p; different -> tiny p
+    (reference dirichlet_fastfit.py:50-92)."""
+    rng = np.random.RandomState(9)
+    a = np.array([2.0, 5.0, 3.0])
+    s1 = rng.dirichlet(a, size=400)
+    s2 = rng.dirichlet(a, size=400)
+    s3 = rng.dirichlet(np.array([8.0, 1.0, 1.0]), size=400)
+    stat_same, p_same, a0, a1, a2 = de.likelihood_ratio_test(s1, s2)
+    stat_diff, p_diff, *_ = de.likelihood_ratio_test(s1, s3)
+    assert p_same > 0.05
+    assert p_diff < 1e-6
+    assert stat_diff > stat_same
+    # the unpenalized fit recovers the true parameters (the reference always
+    # applies its delta=1e-2 shrinkage; delta=0 gives Minka's plain MLE)
+    *_, a0u, a1u, a2u = de.likelihood_ratio_test(s1, s2, delta=0.0)
+    for fitted in (a0u, a1u, a2u):
+        np.testing.assert_allclose(fitted, a, rtol=0.25)
+    # the penalized fit preserves the mean direction
+    for fitted in (a0, a1, a2):
+        np.testing.assert_allclose(fitted / fitted.sum(), a / a.sum(),
+                                   atol=0.05)
+    # loglikelihood oracle vs scipy
+    from scipy.stats import dirichlet as sp_dir
+    expect = sum(sp_dir.logpdf(s / s.sum(), a) for s in s1)
+    np.testing.assert_allclose(de.dirichlet_loglikelihood(s1, a), expect,
+                               rtol=1e-6)
+
+
 def test_em_recovers_dirichlet_parameters():
     """findDirichletPriors-equivalent recovers parameters of synthetic draws
     (unpenalized limit)."""

@@ -1,0 +1,297 @@
+"""Network-level golden parity against a TF1-compat oracle.
+
+Round-1 locked individual ops to TF1 semantics (test_tf_parity.py); these
+tests lock the WHOLE SimpleFCN and AdapNet forward passes: a reference-shaped
+network is evaluated with raw tf.nn ops (CPU, TF1 layer semantics) on random
+weights, exported to an npz with the reference's variable naming
+(xview/models/base_model.py:361-393 contract), imported through our
+Estimator.import_weights, and every intermediate layer plus the final
+prob/classification is compared. Any drift in SAME padding, BN defaults,
+bilinear-deconv edges or naming (SURVEY.md §7 'hard parts') fails here.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from modular_semantic_segmentation_tpu.ops.variables import Ctx
+from modular_semantic_segmentation_tpu.ops.init import bilinear_filter
+
+tf = pytest.importorskip("tensorflow")
+tf1 = tf.compat.v1
+
+NUM_CLASSES = 6
+NUM_UNITS = 4
+
+
+def _data_description(num_classes=NUM_CLASSES):
+    return ({"labels": np.int32, "rgb": np.float32},
+            {"rgb": (None, None, 3), "labels": (None, None)}, num_classes)
+
+
+# --------------------------------------------------------------------------
+# TF oracle: raw tf.nn eager ops (TF1 semantics: conv -> BN -> activation,
+# frozen bilinear deconv, BN vars in the conv's scope — the semantics the
+# reference gets from xview/models/custom_layers.py) over an explicitly
+# managed weight dict keyed by the reference's variable names
+# (base_model.py:361-393 export contract).
+# --------------------------------------------------------------------------
+
+class _TfOracle:
+    def __init__(self, seed):
+        self.rng = np.random.RandomState(seed)
+        self.weights = {}
+        self._scope = []
+
+    def _var(self, name, shape, kind):
+        full = "/".join(self._scope + [name])
+        if full not in self.weights:
+            if kind == "bilinear":
+                value = bilinear_filter(shape)
+            elif kind in ("gamma", "moving_variance"):
+                value = (self.rng.rand(*shape) + 0.5).astype(np.float32)
+            elif len(shape) == 4:
+                # fan-in scaled so activations stay O(1): float32
+                # accumulation noise in exploding activations would
+                # otherwise dominate the comparison
+                scale = 1.0 / np.sqrt(np.prod(shape[:-1]))
+                value = (self.rng.randn(*shape) * scale).astype(np.float32)
+            else:
+                value = (self.rng.randn(*shape) * 0.1).astype(np.float32)
+            self.weights[full] = value
+        return self.weights[full]
+
+    def scope(self, name):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            self._scope.append(name)
+            try:
+                yield
+            finally:
+                self._scope.pop()
+        return _cm()
+
+    def bn(self, x, name):
+        c = int(x.shape[-1])
+        mean = self._var(f"{name}/moving_mean", (c,), "normal")
+        var = self._var(f"{name}/moving_variance", (c,), "moving_variance")
+        beta = self._var(f"{name}/beta", (c,), "normal")
+        gamma = self._var(f"{name}/gamma", (c,), "gamma")
+        return tf.nn.batch_normalization(x, mean, var, beta, gamma, 1e-3)
+
+    def conv(self, x, filters, ksize, name, activation=tf.nn.relu, bn=True,
+             strides=1, dilation=1, use_bias=True):
+        kernel = self._var(f"{name}/kernel",
+                           (ksize, ksize, int(x.shape[-1]), filters), "normal")
+        out = tf.nn.conv2d(x, kernel, strides=strides, padding="SAME",
+                           dilations=dilation)
+        if use_bias:
+            out = out + self._var(f"{name}/bias", (filters,), "normal")
+        if bn:
+            out = self.bn(out, name)
+        if activation is not None:
+            out = activation(out)
+        return out
+
+    def deconv(self, x, filters, ksize, stride, name, activation=tf.nn.relu,
+               bn=True, frozen=True):
+        n, h, w, c = (int(s) for s in x.shape)
+        kernel = self._var(f"{name}/kernel", (ksize, ksize, filters, c),
+                           "bilinear" if frozen else "normal")
+        out = tf.nn.conv2d_transpose(
+            x, kernel, output_shape=(n, h * stride, w * stride, filters),
+            strides=[1, stride, stride, 1], padding="SAME")
+        if bn:
+            out = self.bn(out, name)
+        if activation is not None:
+            out = activation(out)
+        return out
+
+    def maxpool(self, x):
+        return tf.nn.max_pool2d(x, 2, 2, "VALID")
+
+
+def _tf_simple_fcn(o, x, prefix, num_units, num_classes):
+    """Reference-shaped SimpleFCN forward (xview/models/simple_fcn.py:10-170)."""
+    l = {}
+    with o.scope(prefix):
+        last = x
+        for block, (reps, width) in enumerate(
+                [(2, 64), (2, 128), (3, 256), (3, 512), (3, 512)], start=1):
+            for rep in range(1, reps + 1):
+                name = f"conv{block}_{rep}"
+                l[name] = last = o.conv(last, width, 3, name)
+            if block < 5:
+                l[f"pool{block}"] = last = o.maxpool(last)
+        score_conv4 = o.conv(l["conv4_3"], num_units, 1, "score_conv4")
+        score_conv5 = o.conv(l["conv5_3"], num_units, 1, "score_conv5")
+        upscore_conv5 = o.deconv(score_conv5, num_units, 4, 2, "upscore_conv5")
+        l["fused"] = score_conv4 + upscore_conv5
+        l["upscore"] = o.deconv(l["fused"], num_units, 16, 8, "upscore")
+        l["score"] = o.conv(l["upscore"], num_classes, 1, "score",
+                            activation=None)
+    l["prob"] = tf.nn.softmax(l["score"])
+    return l
+
+
+def _run_tf_oracle(build_fn, x, seed):
+    oracle = _TfOracle(seed)
+    outputs = {k: np.asarray(v)
+               for k, v in build_fn(oracle, tf.constant(x)).items()}
+    return oracle.weights, outputs
+
+
+def _import_into(net, weights, tmp_path):
+    npz = tmp_path / "golden.npz"
+    np.savez(npz, **weights)
+    net.import_weights(str(npz), warnings=False)
+    # every model variable must have been found in the oracle export —
+    # a naming drift would otherwise silently keep random init
+    for name, value in net.variables.items():
+        if name == "global_step":
+            continue
+        assert name in weights, f"model variable {name} missing from npz"
+        np.testing.assert_array_equal(np.asarray(value), weights[name],
+                                      err_msg=name)
+
+
+def test_simple_fcn_network_golden_parity(tmp_path):
+    from modular_semantic_segmentation_tpu.models import get_model
+    from modular_semantic_segmentation_tpu.models.simple_fcn import fcn
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 32, 48, 3).astype(np.float32) * 4 - 2
+
+    weights, expected = _run_tf_oracle(
+        lambda o, t: _tf_simple_fcn(o, t, "rgb", NUM_UNITS, NUM_CLASSES),
+        x, seed=7)
+
+    net = get_model("simple_fcn")(
+        prefix="rgb", data_description=_data_description(), modality="rgb",
+        num_units=NUM_UNITS, batchsize=2)
+    _import_into(net, weights, tmp_path)
+
+    ctx = Ctx(dict(net.variables), train=False)
+    ours = fcn(ctx, jnp.asarray(x), "rgb", NUM_UNITS, NUM_CLASSES)
+
+    for name in ["conv1_1", "conv1_2", "pool1", "conv2_2", "pool2",
+                 "conv3_3", "pool3", "conv4_3", "pool4", "conv5_3",
+                 "fused", "upscore", "score"]:
+        np.testing.assert_allclose(
+            np.asarray(ours[name]), expected[name], rtol=1e-3, atol=2e-3,
+            err_msg=f"layer {name} drifted from the TF1 oracle")
+
+    # the public API path: predict() probabilities and classes
+    prob = net.predict({"rgb": x}, output_attr="prob")
+    np.testing.assert_allclose(prob, expected["prob"], rtol=1e-3, atol=2e-3)
+    ours_cls = net.predict({"rgb": x})
+    # argmax may legitimately differ where two probs are within tolerance
+    margin = np.sort(expected["prob"], axis=-1)
+    decisive = (margin[..., -1] - margin[..., -2]) > 1e-3
+    theirs_cls = expected["prob"].argmax(-1)
+    assert (ours_cls == theirs_cls)[decisive].all()
+
+
+def _tf_adapnet(o, x, prefix, num_units, num_classes):
+    """Reference-shaped AdapNet forward (xview/models/adapnet.py:97-173)."""
+    nb = dict(use_bias=False)
+
+    def block_a(inputs, intermed, filters, strides, name, shortcut_conv=False):
+        with o.scope(name):
+            s1 = o.conv(inputs, intermed, 1, "stage_1", strides=strides, **nb)
+            s2 = o.conv(s1, intermed, 3, "stage_2", **nb)
+            s3 = o.conv(s2, filters, 1, "stage_3", **nb)
+            sc = (o.conv(inputs, filters, 1, "shortcut", strides=strides,
+                         **nb) if shortcut_conv else inputs)
+        return tf.nn.relu(s3 + sc)
+
+    def block_b(inputs, f1, f2, f3, d1, d2, name, shortcut_conv=False):
+        with o.scope(name):
+            s1 = o.conv(inputs, f1, 1, "stage_1", **nb)
+            s21 = o.conv(s1, f2 // 2, 3, "stage_2_1", dilation=d1, **nb)
+            s22 = o.conv(s1, f2 // 2, 3, "stage_2_2", dilation=d2, **nb)
+            s3 = o.conv(tf.concat([s21, s22], 3), f3, 1, "stage_3", **nb)
+            sc = (o.conv(inputs, f3, 1, "shortcut", **nb)
+                  if shortcut_conv else inputs)
+        return tf.nn.relu(s3 + sc)
+
+    l = {}
+    with o.scope(prefix):
+        l["block_0_1"] = o.conv(x, 64, 3, "block_0_1")
+        l["block_0_2"] = o.conv(l["block_0_1"], 64, 7, "block_0_2", strides=2)
+        l["block_0_pool"] = o.maxpool(l["block_0_2"])
+        l["block_1"] = block_a(l["block_0_pool"], 64, 256, 1,
+                               "block_layer_1", shortcut_conv=True)
+        l["block_2"] = block_a(l["block_1"], 64, 256, 1, "block_layer_2")
+        l["block_3"] = block_a(l["block_2"], 64, 256, 1, "block_layer_3")
+        l["block_4"] = block_a(l["block_3"], 128, 512, 2, "block_layer_4",
+                               shortcut_conv=True)
+        l["block_5"] = block_a(l["block_4"], 128, 512, 1, "block_layer_5")
+        l["block_6"] = block_a(l["block_5"], 128, 512, 1, "block_layer_6")
+        l["block_7"] = block_b(l["block_6"], 128, 64, 512, 1, 2,
+                               "block_layer_7")
+        l["shortcut"] = o.conv(l["block_7"], num_units, 1, "shortcut",
+                               activation=None)
+        l["block_8"] = block_a(l["block_7"], 256, 1024, 2, "block_layer_8",
+                               shortcut_conv=True)
+        l["block_9"] = block_a(l["block_8"], 256, 1024, 1, "block_layer_9")
+        l["block_10"] = block_b(l["block_9"], 256, 256, 1024, 1, 2,
+                                "block_layer_10")
+        l["block_11"] = block_b(l["block_10"], 256, 256, 1024, 1, 4,
+                                "block_layer_11")
+        l["block_12"] = block_b(l["block_11"], 256, 256, 1024, 1, 8,
+                                "block_layer_12")
+        l["block_13"] = block_b(l["block_12"], 256, 256, 1024, 1, 16,
+                                "block_layer_13")
+        l["block_14"] = block_b(l["block_13"], 512, 512, 2048, 2, 4,
+                                "block_layer_14", shortcut_conv=True)
+        l["block_15"] = block_b(l["block_14"], 512, 512, 2048, 2, 8,
+                                "block_layer_15")
+        l["block_16"] = block_b(l["block_15"], 512, 512, 2048, 2, 16,
+                                "block_layer_16")
+        dc1 = o.conv(l["block_16"], 2048, 1, "first_deconvolution_conv")
+        # AdapNet's upconvolutions are trainable (bilinear init only), so
+        # the oracle uses RANDOM kernels here — exercising the general
+        # conv_transpose path, not the frozen-diagonal fast path
+        l["deconv_1"] = o.deconv(dc1, num_units, 4, 2,
+                                 "first_deconvolution_upconv",
+                                 activation=None, frozen=False)
+        l["merge"] = l["deconv_1"] + l["shortcut"]
+        l["score"] = o.deconv(l["merge"], num_classes, 16, 8,
+                              "second_deconvolution_upconv",
+                              activation=None, frozen=False)
+    l["prob"] = tf.nn.softmax(l["score"])
+    return l
+
+
+def test_adapnet_network_golden_parity(tmp_path):
+    from modular_semantic_segmentation_tpu.models import get_model
+    from modular_semantic_segmentation_tpu.models.adapnet import adapnet
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 64, 96, 3).astype(np.float32) * 4 - 2
+
+    weights, expected = _run_tf_oracle(
+        lambda o, t: _tf_adapnet(o, t, "rgb", NUM_UNITS, NUM_CLASSES),
+        x, seed=11)
+
+    net = get_model("adapnet")(
+        data_description=_data_description(), modality="rgb",
+        num_units=NUM_UNITS, batchsize=1)
+    _import_into(net, weights, tmp_path)
+
+    ctx = Ctx(dict(net.variables), train=False)
+    ours = adapnet(ctx, jnp.asarray(x), "rgb", NUM_UNITS, NUM_CLASSES)
+
+    for name in ["block_0_1", "block_0_2", "block_0_pool", "block_1",
+                 "block_4", "block_7", "shortcut", "block_8", "block_13",
+                 "block_16", "deconv_1", "merge", "score"]:
+        np.testing.assert_allclose(
+            np.asarray(ours[name]), expected[name], rtol=1e-3, atol=2e-3,
+            err_msg=f"layer {name} drifted from the TF1 oracle")
+
+    prob = net.predict({"rgb": x}, output_attr="prob")
+    np.testing.assert_allclose(prob, expected["prob"], rtol=1e-3, atol=2e-3)
