@@ -26,7 +26,10 @@ def test_pipeline(ctx, inputs, prefix, expert_model, num_units, num_classes,
     else:
         raise UserWarning(f"ERROR: Expert Model {expert_model} not found")
     outputs["prob"] = ll.softmax(outputs["score"])
-    outputs["classification"] = outputs["prob"].argmax(-1)
+    # argmax of the raw score == argmax of its softmax (monotone), but XLA
+    # cannot prove that — taking it from the score lets the softmax be
+    # dead-code-eliminated in fusions that only use classifications (Bayes)
+    outputs["classification"] = outputs["score"].argmax(-1)
     return outputs
 
 

@@ -19,6 +19,7 @@ All functions are jit-able jnp code operating on stacked expert axes.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
@@ -72,10 +73,17 @@ def bayes_fusion(classifications, confusion_matrices, class_prior_spec="data"):
     log_likelihoods = []
     conditionals = []
     for cls, cm in zip(classifications, confusion_matrices):
-        cond = jnp.asarray(confusion_to_conditional(cm), jnp.float32)
-        gathered = cond[cls]            # rows indexed by expert output
-        conditionals.append(gathered)
-        log_likelihoods.append(jnp.log(1e-20 + gathered))
+        cond = confusion_to_conditional(cm)
+        # Row selection as a one-hot contraction instead of cond[cls]:
+        # row gathers lower to a slow scatter/gather loop on TPU (~1.5
+        # ms/frame at 768x384) while the [pixels, K] @ [K, K] form runs on
+        # the MXU (~0.1 ms). Mathematically identical — one_hot rows are
+        # exact 0/1 selectors. (The reference needed the same trick on GPU
+        # for gather_nd, timing.py:86-128.)
+        onehot = jax.nn.one_hot(cls, cond.shape[0], dtype=jnp.float32)
+        log_cond = jnp.asarray(np.log(1e-20 + cond), jnp.float32)
+        conditionals.append(onehot @ jnp.asarray(cond, jnp.float32))
+        log_likelihoods.append(onehot @ log_cond)
 
     data_prior = _data_prior_from_cm(confusion_matrices[-1])
     prior = class_prior(class_prior_spec, data_prior)
@@ -116,16 +124,18 @@ def bayes_decision_matrix(confusion_matrices, class_prior_spec="data"):
 def apply_decision_matrix(decision_matrix, classifications):
     """Fused classification by lookup: table[c_1, ..., c_E] per pixel.
 
-    On TPU the small-table gather lowers fine; see
-    ops/pallas/bayes_kernel.py for the one-hot-contraction variant (the trick
-    the reference needed on GPU, timing.py:86-128)."""
+    The lookup is a one-hot contraction over the K^E flat table — exact
+    (0/1 selectors of small integers) and MXU-resident, where the direct
+    flat[idx] gather lowers to a slow scatter loop on TPU (the same trick
+    the reference needed for gather_nd on GPU, timing.py:86-128)."""
     table = jnp.asarray(decision_matrix)
     num_classes = table.shape[0]
-    flat = table.reshape(-1)
+    flat = table.reshape(-1).astype(jnp.float32)
     idx = classifications[0]
     for cls in classifications[1:]:
         idx = idx * num_classes + cls
-    return flat[idx]
+    onehot = jax.nn.one_hot(idx, flat.shape[0], dtype=jnp.float32)
+    return (onehot @ flat).astype(jnp.int32)
 
 
 def dirichlet_log_likelihoods(probs, alphas, sigma=1.0):

@@ -60,7 +60,12 @@ def batch_norm(ctx, x, name, trainable=True):
                               trainable=False)
         moving_var = ctx.get("moving_variance", (dim,), initializers.ones,
                              trainable=False)
-        x32 = x.astype(_accum_dtype(x.dtype))
+        # Statistics ALWAYS in float32: batch means/variances over
+        # 768x384 frames in bf16 lose ~7 bits and drift training away
+        # from the reference (the conv-VJP constraint in _accum_dtype
+        # applies to conv preferred_element_type, not to this astype,
+        # which has a well-defined VJP).
+        x32 = x.astype(jnp.float32)
         if ctx.train:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x32, axis=axes)
@@ -100,13 +105,35 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
         kernel = ctx.get("kernel", (kh, kw, in_ch, int(filters)),
                          kernel_initializer, trainable=trainable)
         dtype = ctx.compute_dtype
-        out = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype),
-            window_strides=strides,
-            padding=padding.upper(),
-            rhs_dilation=dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=_accum_dtype(dtype))
+        if ctx.spatial_axis is not None and kh > 1:
+            # Height-sharded path (parallel/spatial.py): exchange
+            # dilation-wide row halos with the ring neighbours, then run
+            # the height dimension VALID — identical to the global SAME
+            # conv (edge shards receive zero halos = SAME zero padding).
+            from modular_semantic_segmentation_tpu.parallel.spatial import \
+                halo_exchange_rows
+            if strides != (1, 1) or kh % 2 == 0:
+                raise NotImplementedError(
+                    "spatial sharding supports stride-1 odd conv kernels")
+            r = dilation[0] * (kh // 2)
+            top, bottom = halo_exchange_rows(x, ctx.spatial_axis, rows=r)
+            haloed = jnp.concatenate([top, x, bottom], axis=1)
+            pw = dilation[1] * (kw // 2)
+            out = jax.lax.conv_general_dilated(
+                haloed.astype(dtype), kernel.astype(dtype),
+                window_strides=strides,
+                padding=[(0, 0), (pw, pw)],
+                rhs_dilation=dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=_accum_dtype(dtype))
+        else:
+            out = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype),
+                window_strides=strides,
+                padding=padding.upper(),
+                rhs_dilation=dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=_accum_dtype(dtype))
         if use_bias:
             bias = ctx.get("bias", (int(filters),), initializers.zeros,
                            trainable=trainable)
@@ -142,6 +169,20 @@ def deconv2d(ctx, x, filters, kernel_size, name, strides=1, activation=None,
                          initializers.bilinear_filter_initializer,
                          trainable=trainable)
         dtype = ctx.compute_dtype
+        spatial = ctx.spatial_axis is not None
+        if spatial:
+            # Height-sharded: one halo row each side covers the kernel's
+            # reach (requires k <= 2*stride, true for the reference's 4/2
+            # and 16/8 deconvs); the overlapping stride-wide output strip
+            # is trimmed below. SAME alignment is translation-covariant,
+            # so local SAME on the haloed block + trim == the global SAME.
+            from modular_semantic_segmentation_tpu.parallel.spatial import \
+                halo_exchange_rows
+            if kh > 2 * strides[0]:
+                raise NotImplementedError(
+                    "spatial sharding needs deconv kernel <= 2*stride")
+            top, bottom = halo_exchange_rows(x, ctx.spatial_axis, rows=1)
+            x = jnp.concatenate([top, x, bottom], axis=1)
         # The fast path assumes a channel-diagonal kernel (true for the
         # frozen bilinear initializer). When the kernel is concrete (eager
         # eval / imported npz), verify that before discarding off-diagonal
@@ -182,6 +223,8 @@ def deconv2d(ctx, x, filters, kernel_size, name, strides=1, activation=None,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 transpose_kernel=True,
                 preferred_element_type=_accum_dtype(dtype))
+        if spatial:
+            out = out[:, strides[0]:out.shape[1] - strides[0]]
         if use_bias:
             bias = ctx.get("bias", (int(filters),), initializers.zeros,
                            trainable=trainable)

@@ -39,8 +39,12 @@ class Ctx:
     """
 
     def __init__(self, variables=None, train=False, rng=None, init=False,
-                 compute_dtype=jnp.float32, abstract=False):
+                 compute_dtype=jnp.float32, abstract=False,
+                 spatial_axis=None):
         self.variables = variables if variables is not None else {}
+        # mesh axis name when running height-sharded under shard_map
+        # (parallel/spatial.py): convs/deconvs exchange row halos
+        self.spatial_axis = spatial_axis
         self.created = {}
         self.trainable = {}
         self.specs = {}

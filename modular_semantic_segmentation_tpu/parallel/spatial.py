@@ -15,24 +15,25 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 
-def _halo_exchange_rows(x, axis_name):
-    """Return (top_halo, bottom_halo) rows received from ring neighbours.
+def halo_exchange_rows(x, axis_name, rows=1):
+    """Return (top_halo, bottom_halo): ``rows`` boundary rows received from
+    the ring neighbours via ``jax.lax.ppermute``.
 
     x: local block [N, H_local, W, C]. Edge devices receive zero rows
     (matching SAME zero padding).
     """
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    top_row = x[:, :1]      # my first row -> neighbour above's bottom halo
-    bottom_row = x[:, -1:]  # my last row  -> neighbour below's top halo
+    top_rows = x[:, :rows]      # -> neighbour above's bottom halo
+    bottom_rows = x[:, -rows:]  # -> neighbour below's top halo
 
-    # send my bottom row down the ring (i -> i+1); received = halo above me
+    # send my bottom rows down the ring (i -> i+1); received = halo above me
     from_above = jax.lax.ppermute(
-        bottom_row, axis_name,
+        bottom_rows, axis_name,
         [(i, (i + 1) % n_dev) for i in range(n_dev)])
-    # send my top row up the ring (i -> i-1); received = halo below me
+    # send my top rows up the ring (i -> i-1); received = halo below me
     from_below = jax.lax.ppermute(
-        top_row, axis_name,
+        top_rows, axis_name,
         [(i, (i - 1) % n_dev) for i in range(n_dev)])
     # zero the wrapped-around edges (device 0 has nothing above, last device
     # nothing below) to reproduce SAME zero padding
@@ -40,6 +41,11 @@ def _halo_exchange_rows(x, axis_name):
     from_below = jnp.where(idx == n_dev - 1, jnp.zeros_like(from_below),
                            from_below)
     return from_above, from_below
+
+
+# backwards-compatible single-row variant used by sharded_conv2d_3x3
+def _halo_exchange_rows(x, axis_name):
+    return halo_exchange_rows(x, axis_name, rows=1)
 
 
 def sharded_conv2d_3x3(x, kernel, mesh, axis="data"):
@@ -66,3 +72,41 @@ def sharded_conv2d_3x3(x, kernel, mesh, axis="data"):
         in_specs=(P(None, axis, None, None), P()),
         out_specs=P(None, axis, None, None))
     return shard_fn(x, kernel)
+
+
+def spatial_sharded_forward(net_fn, variables, x, mesh, axis="data"):
+    """Run a WHOLE network forward with the height axis sharded.
+
+    ``net_fn(ctx, x)`` is any functional network built from ops/layers
+    primitives (e.g. models.simple_fcn.fcn via a lambda). Inside the
+    shard_map every 3x3 conv exchanges dilation-wide row halos and every
+    frozen deconv exchanges one row and trims the overlap (see
+    ops/layers.py spatial paths), so the result is identical to the
+    unsharded forward. Inference-only: Ctx is constructed with train=False
+    (training-mode batch norm would need a psum over the spatial axis).
+
+    Args:
+        net_fn: callable (ctx, x_local) -> array or pytree of arrays, each
+            [N, H_local*, W*, C]-shaped (H sharded).
+        variables: flat variable dict (replicated).
+        x: [N, H, W, C] global input; H must be divisible by
+            (mesh size along ``axis``) * 16 so pooling windows never
+            straddle shard boundaries (the reference's crop_multiple=16
+            alignment, xview/datasets/augmentation.py:244-262).
+    """
+    from modular_semantic_segmentation_tpu.ops.variables import Ctx
+
+    n_dev = mesh.shape[axis]
+    if x.shape[1] % (n_dev * 16):
+        raise ValueError(
+            f"height {x.shape[1]} not divisible by {n_dev} shards * 16")
+
+    def local_fn(variables, x_blk):
+        ctx = Ctx(variables, train=False, spatial_axis=axis)
+        return net_fn(ctx, x_blk)
+
+    shard_fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(None, axis, None, None)),
+        out_specs=P(None, axis, None, None))
+    return shard_fn(variables, x)

@@ -28,6 +28,14 @@ def trace(logdir):
         jax.profiler.stop_trace()
 
 
+@jax.jit
+def _scalar_probe(x):
+    """Tiny reduction whose value depends on the whole array — a 4-byte
+    readback that still bounds all queued device work."""
+    import jax.numpy as jnp
+    return jnp.sum(x.astype(jnp.float32))
+
+
 def time_fn(fn, *args, repetitions=50, warmup=3):
     """Measure a jitted function.
 
@@ -49,15 +57,18 @@ def time_fn(fn, *args, repetitions=50, warmup=3):
 
     start = time.perf_counter()
     outs = [fn(*args) for _ in range(repetitions)]
-    # host readback of the last output: the device executes serially, so
-    # this bounds every prior execution (block_until_ready can return
-    # early on tunneled devices)
+    # Bound the measurement with a host readback that DEPENDS on the last
+    # output: the device executes serially, so this bounds every prior
+    # execution (block_until_ready can return early on tunneled devices).
+    # Read back a scalar reduction, not the full output — downloading a
+    # multi-MB prediction over a ~30 ms tunnel would otherwise be billed
+    # to the chip.
     last = outs[-1]
     if isinstance(last, dict):
         last = next(iter(last.values()))
     elif isinstance(last, (tuple, list)):
         last = last[-1]
-    np.asarray(last)
+    np.asarray(_scalar_probe(last))
     pipelined = (time.perf_counter() - start) / repetitions
 
     return {
@@ -74,3 +85,52 @@ def log_compile_time(fn, *args):
     start = time.perf_counter()
     result = jax.block_until_ready(fn(*args))
     return time.perf_counter() - start, result
+
+
+def device_time_fn(fn, *args, iters=20, repetitions=3):
+    """Time ``fn(*args)`` with the iteration loop ON THE DEVICE.
+
+    ``lax.fori_loop`` runs ``iters`` serial evaluations inside ONE compiled
+    program, so the measurement contains exactly one dispatch + one 4-byte
+    readback — immune to host<->device link latency and jitter (the ~30 ms
+    tunnel of this environment makes per-dispatch timing unreliable).
+    A vanishing carry perturbation (x + carry * 1e-30) chains iterations so
+    XLA can neither hoist the body out of the loop nor dead-code it.
+
+    Returns seconds per single fn evaluation (min over repetitions, loop
+    overhead removed via an iters=1 calibration run).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    first = jax.tree_util.tree_leaves(args)[0]
+
+    def make(n):
+        @jax.jit
+        def run():
+            def body(_, carry):
+                perturbed = jax.tree_util.tree_map(
+                    lambda a: (a + (carry * 1e-30).astype(a.dtype)
+                               if jnp.issubdtype(a.dtype, jnp.floating)
+                               else a),
+                    args)
+                out = fn(*perturbed)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return run
+
+    looped, single = make(iters), make(1)
+    np.asarray(looped())  # compile
+    np.asarray(single())
+    best = float("inf")
+    for _ in range(repetitions):
+        start = time.perf_counter()
+        np.asarray(single())
+        t1 = time.perf_counter() - start
+        start = time.perf_counter()
+        np.asarray(looped())
+        tn = time.perf_counter() - start
+        best = min(best, (tn - t1) / (iters - 1))
+    del first
+    return best

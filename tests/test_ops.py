@@ -136,3 +136,26 @@ def test_init_variables_creates_and_applies():
     assert trainable["conv1/kernel"]
     out = net(Ctx(variables), x)
     assert out.shape == (1, 8, 8, 2)
+
+
+def test_batch_norm_bf16_training_stats_are_float32():
+    """BN batch statistics must be computed in f32 even when the compute
+    dtype is bfloat16 — bf16 means over 768x384 frames of 0..255-magnitude
+    images lose ~7 bits (round-1 verdict weak #7, SURVEY §7 'BN semantics')."""
+    rng = np.random.RandomState(0)
+    x64 = rng.rand(2, 96, 64, 8) * 255.0
+    x_bf16 = jnp.asarray(x64, jnp.bfloat16)
+    ctx = Ctx({"bn/gamma": jnp.ones(8), "bn/beta": jnp.zeros(8),
+               "bn/moving_mean": jnp.zeros(8),
+               "bn/moving_variance": jnp.ones(8)}, train=True)
+    layers.batch_norm(ctx, x_bf16, "bn")
+    # updates: moving = 0.99 * old + 0.01 * batch_stat
+    got_mean = np.asarray(ctx.updates["bn/moving_mean"]) / 0.01
+    got_var = (np.asarray(ctx.updates["bn/moving_variance"]) - 0.99) / 0.01
+    # oracle on the BF16-ROUNDED input (the rounding is legitimate; the
+    # statistic accumulation must not add further error)
+    x_r = np.asarray(x_bf16, np.float64)
+    expect_mean = x_r.mean((0, 1, 2))
+    expect_var = x_r.var((0, 1, 2))
+    np.testing.assert_allclose(got_mean, expect_mean, rtol=1e-4)
+    np.testing.assert_allclose(got_var, expect_var, rtol=1e-3)
