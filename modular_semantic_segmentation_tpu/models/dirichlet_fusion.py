@@ -97,7 +97,10 @@ class DirichletFusion(FusionModel):
                 out[f"{m}_norm_prob"] = probs[m]
             return out
         if self.config.get("use_pallas"):
-            # fused single-pass VMEM kernel (ops/pallas/dirichlet_kernel.py)
+            # fused single-pass VMEM kernel (ops/pallas/dirichlet_kernel.py).
+            # Off by default: measured on the v5e it is ~35x slower than the
+            # XLA path below because Mosaic pads K=14 to the 128-lane width
+            # (docs/TIMING.md "Pallas kernels on the real chip").
             from modular_semantic_segmentation_tpu.ops.pallas import \
                 dirichlet_kernel
             prediction = dirichlet_kernel.dirichlet_fusion_label(
