@@ -24,12 +24,20 @@ VALIDATION_SPLIT_SEED = 317243896
 
 
 class DataSource:
-    """Lazy view over a list of dataset items, yielding batch dicts."""
+    """Lazy view over a list of dataset items, yielding batch dicts.
 
-    def __init__(self, dataset, items, training_format=False):
+    ``compact_transfer=True`` keeps uint8 modalities uint8 in the stacked
+    batch (4x less host->device traffic); the Estimator promotes integer
+    inputs to float32 on device inside the jitted step, so the result is
+    numerically identical.
+    """
+
+    def __init__(self, dataset, items, training_format=False,
+                 compact_transfer=False):
         self._dataset = dataset
         self._items = list(items)
         self._training_format = training_format
+        self.compact_transfer = compact_transfer
         self.modalities = dataset.modalities
 
     def __len__(self):
@@ -47,14 +55,46 @@ class DataSource:
             yield self.get_blob(i)
 
     def stack(self, blobs):
+        from modular_semantic_segmentation_tpu.datasets import native_backend
         batch = {}
         for m in self.modalities:
-            batch[m] = np.stack([b[m] for b in blobs]).astype(
-                "int32" if m == "labels" else "float32")
+            first = blobs[0][m]
+            if m == "labels":
+                batch[m] = np.stack([b[m] for b in blobs]).astype("int32")
+            elif first.dtype == np.uint8 and self.compact_transfer:
+                batch[m] = np.stack([b[m] for b in blobs])
+            elif first.dtype == np.uint8:
+                # fused native uint8->float32 pack over the whole batch
+                # (one OpenMP pass; the reference paid a Python/NumPy
+                # astype per image here)
+                u8 = np.ascontiguousarray(np.stack([b[m] for b in blobs]))
+                out = np.empty(u8.shape, np.float32)
+                if not native_backend.pack_normalize_into(u8, out):
+                    out = u8.astype(np.float32)
+                batch[m] = out
+            else:
+                batch[m] = np.stack([b[m] for b in blobs]).astype("float32")
         return batch
 
-    def batches(self, batchsize, shuffle=False, repeat=False, seed=None):
+    def batches(self, batchsize, shuffle=False, repeat=False, seed=None,
+                workers=None):
+        """Yield stacked batch dicts.
+
+        ``workers > 1`` assembles blobs (decode -> augment -> crop) in a
+        thread pool with one-batch lookahead: cv2, np file IO and the
+        native C++ ops all release the GIL, so assembly parallelizes
+        across host cores while the device computes (the reference's
+        tf.data ``num_parallel_calls=10``, base_model.py:203). Augmentation
+        draws from the shared RNG, so with workers the per-image draw
+        ORDER is nondeterministic — same caveat as tf.data's parallel map.
+        """
         rng = np.random.RandomState(seed)
+        if workers and workers > 1:
+            return self._batches_pooled(batchsize, shuffle, repeat, rng,
+                                        workers)
+        return self._batches_seq(batchsize, shuffle, repeat, rng)
+
+    def _batch_indices(self, batchsize, shuffle, repeat, rng):
         while True:
             order = np.arange(len(self))
             if shuffle:
@@ -64,9 +104,27 @@ class DataSource:
                 if repeat and len(idxs) < batchsize:
                     # top up from the start so training batches stay full
                     idxs = np.concatenate([idxs, order[:batchsize - len(idxs)]])
-                yield self.stack([self.get_blob(i) for i in idxs])
+                yield idxs
             if not repeat:
                 return
+
+    def _batches_seq(self, batchsize, shuffle, repeat, rng):
+        for idxs in self._batch_indices(batchsize, shuffle, repeat, rng):
+            yield self.stack([self.get_blob(i) for i in idxs])
+
+    def _batches_pooled(self, batchsize, shuffle, repeat, rng, workers):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = []
+            for idxs in self._batch_indices(batchsize, shuffle, repeat, rng):
+                pending.append([pool.submit(self.get_blob, i) for i in idxs])
+                # keep two batches in flight: one being consumed, one
+                # assembling behind it
+                if len(pending) > 2:
+                    yield self.stack([f.result() for f in pending.pop(0)])
+            for futures in pending:
+                yield self.stack([f.result() for f in futures])
 
     def as_dict(self):
         """Whole set as one stacked dict (the reference's tf_dataset=False)."""

@@ -33,12 +33,12 @@ def _load():
         return None
     lib.resize_bilinear_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
-        ctypes.c_float]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double]
     lib.resize_nearest.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ctypes.c_float, ctypes.c_float]
+        ctypes.c_double, ctypes.c_double]
     lib.apply_lut_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p]
     lib.pack_normalize_f32.argtypes = [
@@ -63,20 +63,23 @@ def resize(img, fx, fy, interpolation):
     if out_h < 1 or out_w < 1:
         return None
     c = img.shape[2] if img.ndim == 3 else 1
+    # cv2 keeps the sampling scale at 1/f when called with fx/fy (it only
+    # re-derives src/dst when dsize is passed), and computes coordinates in
+    # DOUBLE — float scales flip floor() near integer boundaries (caught by
+    # the parity tests)
+    scale_y, scale_x = 1.0 / fy, 1.0 / fx
     if interpolation == cv2.INTER_LINEAR and img.dtype == np.uint8:
         src = np.ascontiguousarray(img)
         dst = np.empty((out_h, out_w) + img.shape[2:], np.uint8)
-        # cv2 samples with scale = 1/f (not src/dst) — match exactly
         lib.resize_bilinear_u8(src.ctypes.data, h, w, c,
                                dst.ctypes.data, out_h, out_w,
-                               1.0 / fy, 1.0 / fx)
+                               scale_y, scale_x)
         return dst
     if interpolation == cv2.INTER_NEAREST and img.dtype.itemsize in (1, 2, 4):
         src = np.ascontiguousarray(img)
         dst = np.empty((out_h, out_w) + img.shape[2:], img.dtype)
         lib.resize_nearest(src.ctypes.data, h, w, c, img.dtype.itemsize,
-                           dst.ctypes.data, out_h, out_w, 1.0 / fy,
-                           1.0 / fx)
+                           dst.ctypes.data, out_h, out_w, scale_y, scale_x)
         return dst
     return None
 
@@ -103,3 +106,22 @@ def pack_normalize(img_u8, scale=1.0 / 255.0, offset=0.0):
     lib.pack_normalize_f32(src.ctypes.data, src.size, scale, offset,
                            dst.ctypes.data)
     return dst
+
+
+def pack_normalize_into(src_u8, dst_f32, scale=1.0, offset=0.0):
+    """Fused uint8 -> float32 conversion INTO a preallocated buffer (a batch
+    slice), so batch assembly never allocates per-image temporaries.
+
+    Returns False when the native library is missing or the views are not
+    C-contiguous (caller falls back to NumPy).
+    """
+    lib = _load()
+    if (lib is None or src_u8.dtype != np.uint8
+            or dst_f32.dtype != np.float32
+            or not src_u8.flags.c_contiguous
+            or not dst_f32.flags.c_contiguous
+            or src_u8.size != dst_f32.size):
+        return False
+    lib.pack_normalize_f32(src_u8.ctypes.data, src_u8.size, scale, offset,
+                           dst_f32.ctypes.data)
+    return True

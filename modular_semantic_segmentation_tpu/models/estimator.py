@@ -23,6 +23,7 @@ An eval-only model (custom_training=True) only needs _test_outputs.
 """
 
 import json
+import os
 import pickle
 import time
 from os import path
@@ -134,17 +135,22 @@ class Estimator:
 
         config ``input_scaling``: {modality: scale | (scale, offset)}. Lets
         the host ship compact uint8 frames and moves normalize into the
-        forward program (SURVEY.md §7 design mapping)."""
-        scaling = self.config.get("input_scaling")
-        if not scaling:
-            return batch
+        forward program (SURVEY.md §7 design mapping). Integer inputs
+        (uint8 compact transfer, DataSource(compact_transfer=True)) are
+        always promoted to float32 here — identical numerics to a host
+        astype, at a quarter of the H2D bytes."""
+        scaling = self.config.get("input_scaling") or {}
         out = dict(batch)
-        for modality, spec in scaling.items():
-            if modality not in out:
+        for modality, value in batch.items():
+            if modality in ("labels", "labels_onehot"):
                 continue
-            scale, offset = (spec if isinstance(spec, (tuple, list))
-                             else (spec, 0.0))
-            out[modality] = out[modality].astype(jnp.float32) * scale + offset
+            spec = scaling.get(modality)
+            if spec is not None:
+                scale, offset = (spec if isinstance(spec, (tuple, list))
+                                 else (spec, 0.0))
+                out[modality] = value.astype(jnp.float32) * scale + offset
+            elif jnp.issubdtype(value.dtype, jnp.integer):
+                out[modality] = value.astype(jnp.float32)
         return out
 
     def _train_step(self, variables, opt_state, batch, rng):
@@ -196,7 +202,12 @@ class Estimator:
             raise UserWarning(
                 f"ERROR: Model {self.name} does not support training")
         additional_eval_datasets = additional_eval_datasets or {}
-        batches = training_batches(data, self.config["batchsize"])
+        # decode/augment/pack in a worker pool (native ops + cv2 release
+        # the GIL); default pool size = host cores, so a 1-core box stays
+        # sequential while real hosts overlap assembly with device compute
+        workers = self.config.get("loader_workers", os.cpu_count())
+        batches = training_batches(data, self.config["batchsize"],
+                                   workers=workers)
         batches = to_device_prefetched(batches)
 
         summary_file = None

@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <cmath>
 
 #if defined(_OPENMP)
 #include <omp.h>
@@ -24,16 +25,16 @@ extern "C" {
 //   src_x = (dst_x + 0.5) * scale - 0.5
 void resize_bilinear_u8(const uint8_t* src, int src_h, int src_w, int ch,
                         uint8_t* dst, int dst_h, int dst_w,
-                        float scale_y, float scale_x) {
+                        double scale_y, double scale_x) {
 #pragma omp parallel for schedule(static)
   for (int y = 0; y < dst_h; ++y) {
-    float fy = (y + 0.5f) * scale_y - 0.5f;
+    float fy = static_cast<float>((y + 0.5) * scale_y - 0.5);
     int y0 = static_cast<int>(fy >= 0 ? fy : fy - 1);
     float wy = fy - y0;
     int y0c = std::min(std::max(y0, 0), src_h - 1);
     int y1c = std::min(std::max(y0 + 1, 0), src_h - 1);
     for (int x = 0; x < dst_w; ++x) {
-      float fx = (x + 0.5f) * scale_x - 0.5f;
+      float fx = static_cast<float>((x + 0.5) * scale_x - 0.5);
       int x0 = static_cast<int>(fx >= 0 ? fx : fx - 1);
       float wx = fx - x0;
       int x0c = std::min(std::max(x0, 0), src_w - 1);
@@ -57,15 +58,15 @@ void resize_bilinear_u8(const uint8_t* src, int src_h, int src_w, int ch,
 // OpenCV INTER_NEAREST convention: src_x = floor(dst_x * scale).
 void resize_nearest(const void* src_v, int src_h, int src_w, int ch,
                     int elem_size, void* dst_v, int dst_h, int dst_w,
-                    float scale_y, float scale_x) {
+                    double scale_y, double scale_x) {
   const char* src = static_cast<const char*>(src_v);
   char* dst = static_cast<char*>(dst_v);
   const int px = ch * elem_size;
 #pragma omp parallel for schedule(static)
   for (int y = 0; y < dst_h; ++y) {
-    int sy = std::min(static_cast<int>(y * scale_y), src_h - 1);
+    int sy = std::min(static_cast<int>(std::floor(y * scale_y)), src_h - 1);
     for (int x = 0; x < dst_w; ++x) {
-      int sx = std::min(static_cast<int>(x * scale_x), src_w - 1);
+      int sx = std::min(static_cast<int>(std::floor(x * scale_x)), src_w - 1);
       std::memcpy(dst + (static_cast<int64_t>(y) * dst_w + x) * px,
                   src + (static_cast<int64_t>(sy) * src_w + sx) * px, px);
     }

@@ -39,14 +39,19 @@ def _dict_to_batches(data, batchsize, order=None):
         yield {k: np.asarray(v[sel]) for k, v in data.items()}
 
 
-def _as_batch_iterator(data, batchsize, shuffle=False, repeat=False):
+def _as_batch_iterator(data, batchsize, shuffle=False, repeat=False,
+                       workers=None):
     """Normalize the accepted data forms into an iterator of batch dicts.
 
     Accepts: a DataSource (duck-typed via .batches), a dict of stacked
     arrays, or any iterator/generator of batch dicts.
     """
     if hasattr(data, "batches"):
-        return data.batches(batchsize, shuffle=shuffle, repeat=repeat)
+        try:
+            return data.batches(batchsize, shuffle=shuffle, repeat=repeat,
+                                workers=workers)
+        except TypeError:  # custom sources without worker support
+            return data.batches(batchsize, shuffle=shuffle, repeat=repeat)
     if isinstance(data, dict):
         total = next(iter(data.values())).shape[0]
         # Mirror DataSource.batches: fresh permutation each epoch when
@@ -73,9 +78,14 @@ def iterate_batches(data, batchsize, pad=False, pad_label=-1):
         yield batch, valid
 
 
-def training_batches(data, batchsize):
-    """Infinite shuffled batch iterator for fit()."""
-    return _as_batch_iterator(data, batchsize, shuffle=True, repeat=True)
+def training_batches(data, batchsize, workers=None):
+    """Infinite shuffled batch iterator for fit().
+
+    ``workers``: thread-pool size for parallel blob assembly (decode +
+    augment + pack run off the training thread; see DataSource.batches).
+    """
+    return _as_batch_iterator(data, batchsize, shuffle=True, repeat=True,
+                              workers=workers)
 
 
 def to_device_prefetched(batch_iterator, buffer_size=2):

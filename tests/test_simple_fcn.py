@@ -132,3 +132,22 @@ def test_device_side_input_scaling(data):
     np.testing.assert_allclose(np.asarray(out_scaled["prob"]),
                                np.asarray(out_manual["prob"]), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_compact_uint8_transfer_matches_float(data):
+    """uint8 batches (DataSource compact_transfer) are promoted to float32
+    on device — identical predictions to host-side float batches at a
+    quarter of the H2D bytes."""
+    import jax
+    net = get_model("simple_fcn")(
+        prefix="rgb", modality="rgb", num_units=4,
+        data_description=data.get_data_description(), batchsize=2, seed=12)
+    batch = next(data.get_testset().batches(2))
+    compact = dict(batch)
+    compact["rgb"] = batch["rgb"].astype(np.uint8)  # fixture rgb is integral
+    np.testing.assert_array_equal(compact["rgb"].astype(np.float32),
+                                  batch["rgb"])
+    out_f32 = net._jit_eval_step(net.variables, batch, jax.random.PRNGKey(0))
+    out_u8 = net._jit_eval_step(net.variables, compact, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out_f32["prediction"]),
+                                  np.asarray(out_u8["prediction"]))
