@@ -144,3 +144,72 @@ def test_spatial_sharded_simple_fcn_matches_unsharded():
     # misaligned height is an explicit error
     with pytest.raises(ValueError):
         spatial_sharded_forward(net, variables, x[:, :120], mesh, axis="sp")
+
+
+def test_data_parallel_training_converges():
+    """Round-1 verdict item 10: DP training beyond one step — the loss
+    decreases over 20 sharded steps and every variable stays fully
+    replicated (replicas in sync) throughout."""
+    from modular_semantic_segmentation_tpu.parallel import make_mesh
+
+    data = get_dataset("unittest")(height=32, width=32, num_train=16,
+                                   num_measure=2, num_test=2)
+    net = get_model("simple_fcn")(
+        prefix="rgb", modality="rgb", num_units=4,
+        data_description=data.get_data_description(), batchsize=8,
+        learning_rate=0.05, seed=5)
+    distribute(net, make_mesh({"data": 8}))
+
+    batches = data.get_trainset().batches(8, shuffle=True, repeat=True,
+                                          seed=1)
+    losses = []
+    for step in range(20):
+        net.variables, net.opt_state, loss = net._jit_train_step(
+            net.variables, net.opt_state, next(batches),
+            jax.random.PRNGKey(step))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    # robust decrease check: late average well below early average
+    assert np.mean(losses[-5:]) < 0.7 * np.mean(losses[:5]), losses
+    for key, value in net.variables.items():
+        assert value.sharding.is_fully_replicated, \
+            f"{key} lost replication"
+    # the converged model is usable through the normal eval path
+    measures, _ = net.score(data.get_testset())
+    assert np.isfinite(measures["total_accuracy"])
+
+
+def test_multislice_dcn_mesh_training():
+    """Two-slice hybrid mesh (DCN axis x ICI data axis): the same train
+    step runs with the batch sharded over BOTH axes and agrees with the
+    flat-mesh loss (XLA's hierarchical all-reduce is semantically the
+    plain all-reduce)."""
+    from modular_semantic_segmentation_tpu.parallel import (
+        make_mesh, make_multislice_mesh)
+
+    data = get_dataset("unittest")(height=32, width=32, num_train=8,
+                                   num_measure=2, num_test=2)
+    kwargs = dict(prefix="rgb", modality="rgb", num_units=4,
+                  data_description=data.get_data_description(), batchsize=8,
+                  learning_rate=0.01, seed=7)
+    flat = get_model("simple_fcn")(**kwargs)
+    hybrid = get_model("simple_fcn")(**kwargs)
+
+    mesh = make_multislice_mesh(num_slices=2, ici_axes={"data": 4})
+    assert mesh.shape == {"slice": 2, "data": 4}
+    distribute(hybrid, mesh, data_axis=("slice", "data"))
+    distribute(flat, make_mesh({"data": 8}))
+
+    batch = next(data.get_trainset().batches(8, shuffle=True, seed=2))
+    rng = jax.random.PRNGKey(0)
+    fv, fo, floss = flat._jit_train_step(flat.variables, flat.opt_state,
+                                         batch, rng)
+    hv, ho, hloss = hybrid._jit_train_step(hybrid.variables,
+                                           hybrid.opt_state, batch, rng)
+    assert float(hloss) == pytest.approx(float(floss), rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(hv["rgb/conv1_1/kernel"]),
+        np.asarray(fv["rgb/conv1_1/kernel"]), rtol=1e-4, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        make_multislice_mesh(num_slices=3)
