@@ -126,6 +126,24 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
                 rhs_dilation=dilation,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=_accum_dtype(dtype))
+        elif (in_ch <= 4 and (kh, kw) == (3, 3) and strides == (1, 1)
+              and dilation == (1, 1) and padding.upper() == "SAME"):
+            # Thin-input fast path (conv1_1: 3 or 1 input channels).
+            # XLA's conv lowering is layout-bound here (~4 TFLOP/s on the
+            # v5e, docs/TIMING.md roofline); an explicit im2col matmul
+            # [pixels, 9*in] @ [9*in, out] is bandwidth-bound instead —
+            # measured 0.32 -> 0.18 ms at 768x384x3->64. Numerically it is
+            # the same 9*in_ch-term f32 accumulation (bit-equal in the
+            # prototype), and it is plain XLA, so it differentiates.
+            xd = x.astype(dtype)
+            xp = jnp.pad(xd, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            h, w = x.shape[1], x.shape[2]
+            patches = jnp.concatenate(
+                [xp[:, dy:dy + h, dx:dx + w, :] for dy in range(3)
+                 for dx in range(3)], axis=-1)
+            kk = kernel.astype(dtype).reshape(9 * in_ch, int(filters))
+            out = jnp.einsum("nhwp,pf->nhwf", patches, kk,
+                             preferred_element_type=_accum_dtype(dtype))
         else:
             out = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel.astype(dtype),
