@@ -31,12 +31,13 @@ ex.observers.append(get_observer())
 TABLE_COLUMN_ORDER = ["Fusion_Fcn", "Dirichlet", "Bayes", "Average",
                       "Variance", "RGB", "Depth"]
 
-# reference GTX 1080 Ti timings, paper Table V (BASELINE.md)
+# reference GTX 1080 Ti timings, paper Table V (BASELINE.md), keyed by
+# the names experiments/timing.py stores in info["timings"]
 REFERENCE_TIMINGS_S = {
-    "rgb_fcn": 0.0219, "depth_fcn": 0.0218, "average_fusion": 0.0432,
-    "bayes_fusion": 0.0461, "bayes_lookup_fusion": 0.0461,
-    "dirichlet_fusion": 0.0517, "fusion_fcn": 0.0720,
-    "variance_fusion": 0.3064,
+    "rgb_fcn": 0.0219, "depth_fcn": 0.0218, "average_fcn": 0.0432,
+    "bayes_fcn": 0.0461, "bayes_lookup_fcn": 0.0461,
+    "dirichlet_fcn": 0.0517, "fusion_fcn": 0.0720,
+    "variance_fcn": 0.3064,
 }
 
 

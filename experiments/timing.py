@@ -69,10 +69,9 @@ def _time(net, batch, repetitions):
           f"({result['pipelined_fps']:.1f} fps); "
           f"{result['sync_mean_s']:.4f} +- {result['sync_std_s']:.4f} "
           "s/frame sync")
-    return {"mean": result["pipelined_mean_s"],
-            "fps": result["pipelined_fps"],
-            "sync_mean": result["sync_mean_s"],
-            "sync_std": result["sync_std_s"]}
+    # stored verbatim — experiments/report.build_timing_table reads these
+    # keys (pipelined_mean_s / sync_mean_s / ...)
+    return result
 
 
 def _expert_config(cfg, modality):

@@ -45,30 +45,37 @@ def time_fn(fn, *args, repetitions=50, warmup=3):
         pipelined_mean_s: throughput with async dispatch, one final block —
             the per-frame device cost in a production serving loop.
     """
-    jax.block_until_ready(fn(*args))
+    def _force(out):
+        # forced scalar readback: on the tunneled axon device
+        # block_until_ready can return while compile/execute is still in
+        # flight, which leaks the ~60 s first compile into the timed
+        # region (observed: 6.58 s/frame "pipelined" at repetitions=10
+        # with a 0.0000 s sync mean). A host readback that depends on the
+        # output cannot return early.
+        if isinstance(out, dict):
+            out = next(iter(out.values()))
+        elif isinstance(out, (tuple, list)):
+            out = out[-1]
+        np.asarray(_scalar_probe(out))
+
+    _force(fn(*args))
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
 
     sync = []
     for _ in range(repetitions):
         start = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         sync.append(time.perf_counter() - start)
 
     start = time.perf_counter()
     outs = [fn(*args) for _ in range(repetitions)]
     # Bound the measurement with a host readback that DEPENDS on the last
     # output: the device executes serially, so this bounds every prior
-    # execution (block_until_ready can return early on tunneled devices).
-    # Read back a scalar reduction, not the full output — downloading a
-    # multi-MB prediction over a ~30 ms tunnel would otherwise be billed
-    # to the chip.
-    last = outs[-1]
-    if isinstance(last, dict):
-        last = next(iter(last.values()))
-    elif isinstance(last, (tuple, list)):
-        last = last[-1]
-    np.asarray(_scalar_probe(last))
+    # execution. Read back a scalar reduction, not the full output —
+    # downloading a multi-MB prediction over a ~30 ms tunnel would
+    # otherwise be billed to the chip.
+    _force(outs[-1])
     pipelined = (time.perf_counter() - start) / repetitions
 
     return {

@@ -116,14 +116,14 @@ def test_report_quality_table(record_storage):
 def test_report_timing_table(record_storage):
     from experiments.report import build_timing_table
     _write_run(record_storage, 7, {"timings": {
-        "bayes_fusion": {"sync_mean_s": 0.01, "sync_std_s": 0.001,
+        "bayes_fcn": {"sync_mean_s": 0.01, "sync_std_s": 0.001,
                          "pipelined_mean_s": 0.008, "pipelined_fps": 125.0},
         "custom_thing": {"sync_mean_s": 0.02, "sync_std_s": 0.002,
                          "pipelined_mean_s": 0.02, "pipelined_fps": 50.0},
     }})
     table = build_timing_table(7)
-    assert table.loc["bayes_fusion", "fps"] == pytest.approx(125.0)
+    assert table.loc["bayes_fcn", "fps"] == pytest.approx(125.0)
     # reference Table V comparison column (0.0461 s on the GTX 1080 Ti)
-    assert table.loc["bayes_fusion", "speedup"] == pytest.approx(
+    assert table.loc["bayes_fcn", "speedup"] == pytest.approx(
         0.0461 / 0.008)
     assert np.isnan(table.loc["custom_thing"].get("speedup", np.nan))
