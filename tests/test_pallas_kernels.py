@@ -61,7 +61,13 @@ def _tpu_available():
         return False
 
 
-@pytest.mark.skipif(not _tpu_available(), reason="no TPU attached")
+@pytest.mark.skipif(
+    # short-circuit: only probe for the TPU when explicitly opted in, so
+    # routine collection never pays the subprocess probe
+    not os.environ.get("MSSTPU_RUN_TPU_TESTS") or not _tpu_available(),
+    reason="set MSSTPU_RUN_TPU_TESTS=1 (and attach a TPU) to run — 7 min "
+           "of Mosaic compiles over the device tunnel, too slow for the "
+           "routine suite")
 def test_pallas_kernels_on_tpu():
     """Non-interpret Mosaic compilation + numerics on the real chip
     (round-1 verdict item 3). Runs the standalone checker, which asserts
