@@ -57,10 +57,18 @@ def main():
     net, batch = build_flagship()
     rng = jax.random.PRNGKey(0)
 
+    # MSSTPU_BENCH_INT8=1 measures the int8 PTQ serving path instead
+    # (models/quantize.py; +13% device fps, docs/TIMING.md). The default
+    # stays bf16 — the same numerics story as the reference's float
+    # inference that the vs_baseline ratio compares against.
+    if os.environ.get("MSSTPU_BENCH_INT8"):
+        net.quantize_for_serving(batch, num_batches=1)
+
     def forward(variables, batch):
         from modular_semantic_segmentation_tpu.ops.variables import Ctx
         ctx = Ctx(variables, train=False, rng=rng,
-                  compute_dtype=net.compute_dtype)
+                  compute_dtype=net.compute_dtype,
+                  act_scales=net.act_scales)
         return net._test_outputs(ctx, batch)["prediction"]
 
     # Serving program: 4 statically-unrolled batch-1 forwards per dispatch.

@@ -68,6 +68,8 @@ class Estimator:
             else jnp.float32
         self.global_step = 0
         self._closed = False
+        # int8 PTQ serving: None = float path; set by quantize_for_serving
+        self.act_scales = None
 
         self._rng = jax.random.PRNGKey(int(config.get("seed", 0)))
         self._build()
@@ -176,7 +178,8 @@ class Estimator:
 
     def _eval_step(self, variables, batch, rng):
         ctx = Ctx(variables, train=False, rng=rng,
-                  compute_dtype=self.compute_dtype)
+                  compute_dtype=self.compute_dtype,
+                  act_scales=self.act_scales)
         out = self._test_outputs(ctx, self._preprocess(batch))
         if "labels" in batch:
             out["confusion_matrix"] = metrics_lib.confusion_matrix(
@@ -289,6 +292,37 @@ class Estimator:
         confusion = np.asarray(total)
         measures = metrics_lib.measures_from_confusion_matrix(confusion)
         return measures, confusion
+
+    # ---------------------------------------------------------- quantization
+    def quantize_for_serving(self, data, num_batches=8, min_channels=128):
+        """Enable int8 post-training-quantized inference (models/quantize.py).
+
+        Calibrates per-conv activation scales on a few batches of ``data``
+        (use the measure set — same data the fusion models are fitted on),
+        then switches eligible convs (>= ``min_channels`` input channels)
+        to the int8 MXU path for all subsequent predict/score calls.
+        Training and weight IO are unaffected; call with ``data=None`` and
+        a previously returned scales dict to re-enable without
+        recalibration. Returns the scales dict.
+        """
+        from modular_semantic_segmentation_tpu.models import quantize as q
+        if isinstance(data, dict) and all(
+                isinstance(v, float) for v in data.values()):
+            scales = data
+        else:
+            amax = q.calibrate_amax(self, data, num_batches=num_batches)
+            scales = q.select_scales(amax, self.variables,
+                                     min_channels=min_channels)
+        self.act_scales = scales or None
+        # fresh jit wrapper: the scales are baked into the trace as
+        # constants, so the old compiled cache must not be reused
+        self._jit_eval_step = jax.jit(self._eval_step)
+        return scales
+
+    def dequantize_serving(self):
+        """Return to the float serving path."""
+        self.act_scales = None
+        self._jit_eval_step = jax.jit(self._eval_step)
 
     # ------------------------------------------------------------- weight IO
     def export_weights(self, save_dir=None):

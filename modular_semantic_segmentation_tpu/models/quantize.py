@@ -1,0 +1,86 @@
+"""Post-training int8 quantization for TPU serving.
+
+A production-serving feature with no reference equivalent (the reference
+serves f32 on GPU, timing.py:23-311): the v5e MXU executes int8 at up to
+2x its bf16 rate and int8 activation streams halve HBM traffic, so
+quantizing the deep conv stack buys measurable single-chip latency at
+zero training cost.
+
+Design (measured in scripts/int8_probe.py / int8_chain_probe.py):
+  * symmetric per-tensor activation scales, calibrated as the maximum
+    |activation| seen over a few measure-set batches (the standard PTQ
+    recipe);
+  * symmetric per-output-channel weight scales, computed in-graph from
+    the stored f32 kernels — the npz weight contract is untouched and a
+    quantized model can still export/import weights;
+  * only convs with at least ``min_channels`` input channels are
+    quantized: the probes show int8 losing to bf16 below 128 channels at
+    batch 1 (the 64-wide full-resolution convs are layout-bound, not
+    MXU-bound) and winning 1.3-1.6x on the deep blocks;
+  * everything else (BN, bias, activations, fusion math, softmax) stays
+    in the float path; XLA folds the dequant multiply into the following
+    BN/bias affine and fuses the next layer's quantize into the same
+    epilogue, so intermediate tensors are int8-resident between convs.
+
+Usage:
+    net.quantize_for_serving(data.get_measureset())   # calibrate + enable
+    net.score(data.get_testset())                     # runs int8 convs
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modular_semantic_segmentation_tpu.ops.variables import Ctx
+from modular_semantic_segmentation_tpu.utils.data_io import iterate_batches
+
+
+def calibrate_amax(net, data, num_batches=8):
+    """Run ``num_batches`` of ``data`` through the test network recording
+    each conv input's absolute max.
+
+    Returns a dict full-scope-name -> float amax (e.g.
+    ``'rgb/conv4_1/input_amax' -> 5.31``).
+    """
+    rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def one(variables, batch):
+        ctx = Ctx(variables, train=False, rng=rng,
+                  compute_dtype=net.compute_dtype, calibrate=True)
+        net._test_outputs(ctx, net._preprocess(batch))
+        return ctx.amax
+
+    running = {}
+    for i, (batch, _valid) in enumerate(iterate_batches(
+            data, net.config["batchsize"])):
+        if i >= num_batches:
+            break
+        batch = {k: v for k, v in batch.items() if k != "labels"}
+        for key, value in one(net.variables, batch).items():
+            value = float(value)
+            running[key] = max(running.get(key, 0.0), value)
+    if not running:
+        raise ValueError("calibration saw no batches / no convs")
+    return running
+
+
+def select_scales(amax, variables, min_channels=128):
+    """Turn calibrated amaxes into activation scales for eligible convs.
+
+    Eligibility is decided from the conv kernel's input-channel count
+    (``<scope>/kernel`` shape[2]); convs narrower than ``min_channels``
+    stay in the float path (see module docstring).
+    """
+    scales = {}
+    for key, value in amax.items():
+        scope = key.rsplit("/", 1)[0]
+        kernel = variables.get(scope + "/kernel")
+        if kernel is None or kernel.ndim != 4:
+            continue
+        if int(kernel.shape[2]) < min_channels:
+            continue
+        if value <= 0.0 or not np.isfinite(value):
+            continue
+        scales[key] = value / 127.0
+    return scales

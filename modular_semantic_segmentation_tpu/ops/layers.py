@@ -105,7 +105,41 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
         kernel = ctx.get("kernel", (kh, kw, in_ch, int(filters)),
                          kernel_initializer, trainable=trainable)
         dtype = ctx.compute_dtype
-        if ctx.spatial_axis is not None and kh > 1:
+        quant_key = ctx.full_name("input_amax")
+        if ctx.calibrate:
+            # PTQ calibration pass (models/quantize.py): record the input's
+            # absolute max, keyed by this conv's scope.
+            ctx.amax[quant_key] = jnp.max(jnp.abs(
+                x.astype(jnp.float32)))
+        int8_serving = (not ctx.train and not ctx.calibrate
+                        and ctx.act_scales is not None
+                        and quant_key in ctx.act_scales
+                        and ctx.spatial_axis is None)
+        if int8_serving:
+            # int8 post-training-quantized serving: symmetric per-tensor
+            # activation scale (calibrated), symmetric per-output-channel
+            # weight scale (computed in-graph from the f32 kernel, so the
+            # npz weight contract is untouched). The MXU runs int8 at up
+            # to 2x the bf16 rate and the int8 operand stream halves HBM
+            # traffic; the dequant multiply folds into the following
+            # bias/BN affine, and the round/clip/convert of the NEXT
+            # layer's quantize fuses into this layer's epilogue, so
+            # intermediate activations stay int8-resident between convs
+            # (scripts/int8_chain_probe.py measures exactly this pattern).
+            ascale = jnp.float32(ctx.act_scales[quant_key])
+            kscale = jnp.maximum(
+                jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
+            kq = jnp.clip(jnp.round(kernel / kscale), -127,
+                          127).astype(jnp.int8)
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ascale),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                xq, kq, window_strides=strides,
+                padding=padding.upper(), rhs_dilation=dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * (ascale * kscale)
+        elif ctx.spatial_axis is not None and kh > 1:
             # Height-sharded path (parallel/spatial.py): exchange
             # dilation-wide row halos with the ring neighbours, then run
             # the height dimension VALID — identical to the global SAME

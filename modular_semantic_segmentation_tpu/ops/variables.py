@@ -36,11 +36,16 @@ class Ctx:
         init: if True, create missing variables with their initializers.
         compute_dtype: dtype used inside convolutions (e.g. ``jnp.bfloat16``
             to hit the MXU at full rate); variables are always stored float32.
+        act_scales: optional dict full-scope-name -> float activation scale
+            enabling the int8 post-training-quantized serving path in
+            eligible convs (models/quantize.py). None = float serving.
+        calibrate: when True, convs record the absolute max of their input
+            into ``self.amax`` (keyed by scope) for PTQ calibration.
     """
 
     def __init__(self, variables=None, train=False, rng=None, init=False,
                  compute_dtype=jnp.float32, abstract=False,
-                 spatial_axis=None):
+                 spatial_axis=None, act_scales=None, calibrate=False):
         self.variables = variables if variables is not None else {}
         # mesh axis name when running height-sharded under shard_map
         # (parallel/spatial.py): convs/deconvs exchange row halos
@@ -53,6 +58,9 @@ class Ctx:
         self.abstract = abstract
         self.updates = {}
         self.compute_dtype = compute_dtype
+        self.act_scales = act_scales
+        self.calibrate = calibrate
+        self.amax = {}
         self._rng = rng
         self._scope = []
 

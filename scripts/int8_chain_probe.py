@@ -32,15 +32,18 @@ def loopdiff_time_fn(fn, *args, n1=50, n2=200, repetitions=6):
     """Per-evaluation device time, loop-difference method (see
     int8_probe.loopdiff_time_fn)."""
     def make(n):
+        # args are REAL jit parameters — closing over device arrays would
+        # bake them into the HLO as constants and blow past the remote
+        # compiler's request-size limit (HTTP 413 on this tunnel).
         @jax.jit
-        def run():
+        def run(*a):
             def body(_, carry):
-                def perturb(a):
+                def perturb(x):
                     z = (carry * 1e-30)
-                    if jnp.issubdtype(a.dtype, jnp.floating):
-                        return a + z.astype(a.dtype)
-                    return a + z.astype(jnp.int32).astype(a.dtype)
-                out = fn(*jax.tree_util.tree_map(perturb, args))
+                    if jnp.issubdtype(x.dtype, jnp.floating):
+                        return x + z.astype(x.dtype)
+                    return x + z.astype(jnp.int32).astype(x.dtype)
+                out = fn(*jax.tree_util.tree_map(perturb, a))
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 return jnp.sum(leaf.astype(jnp.float32)) * 1e-30
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -48,13 +51,13 @@ def loopdiff_time_fn(fn, *args, n1=50, n2=200, repetitions=6):
 
     runs = {n: make(n) for n in (n1, n2)}
     for r in runs.values():
-        np.asarray(r())
+        np.asarray(r(*args))
     floors = {}
     for n, r in runs.items():
         best = float("inf")
         for _ in range(repetitions):
             t0 = time.perf_counter()
-            np.asarray(r())
+            np.asarray(r(*args))
             best = min(best, time.perf_counter() - t0)
         floors[n] = best
     return (floors[n2] - floors[n1]) / (n2 - n1)

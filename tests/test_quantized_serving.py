@@ -1,0 +1,113 @@
+"""int8 post-training-quantized serving (models/quantize.py).
+
+A TPU-native production feature with no reference equivalent: symmetric
+per-tensor activation scales + per-output-channel weight scales on the
+deep convs, everything else float. These tests lock (a) the conv-level
+quantization error bound, (b) calibration/eligibility mechanics, and
+(c) end-to-end score parity on a trained model.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from modular_semantic_segmentation_tpu.ops import layers
+from modular_semantic_segmentation_tpu.ops.variables import Ctx, init_variables
+from modular_semantic_segmentation_tpu.models import get_model, quantize
+
+
+def test_conv2d_int8_error_bounded():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 16, 16, 128).astype(np.float32) * 4 - 2)
+
+    def net(ctx, x):
+        return layers.conv2d(ctx, x, 32, 3, "conv", activation=None,
+                             use_bias=False)
+
+    variables, _ = init_variables(net, jax.random.PRNGKey(0), x)
+    want = net(Ctx(variables), x)
+
+    amax = float(jnp.max(jnp.abs(x)))
+    got = net(Ctx(variables, act_scales={"conv/input_amax": amax / 127.0}), x)
+
+    # int8 symmetric quantization: error per operand is <= step/2; the
+    # 9*128-term dot concentrates well below the worst case.
+    scale = float(jnp.max(jnp.abs(want)))
+    err = float(jnp.max(jnp.abs(got - want))) / scale
+    assert err < 0.05, err
+    # and it must actually differ from the float path (the int8 branch ran)
+    assert float(jnp.max(jnp.abs(got - want))) > 0
+
+
+def test_conv2d_calibration_records_amax():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 8, 8, 16).astype(np.float32) * 2 - 1)
+
+    def net(ctx, x):
+        return layers.conv2d(ctx, x, 8, 3, "convA", activation=jax.nn.relu,
+                             use_bias=True)
+
+    variables, _ = init_variables(net, jax.random.PRNGKey(0), x)
+    ctx = Ctx(variables, calibrate=True)
+    net(ctx, x)
+    assert "convA/input_amax" in ctx.amax
+    np.testing.assert_allclose(float(ctx.amax["convA/input_amax"]),
+                               float(jnp.max(jnp.abs(x))), rtol=1e-6)
+
+
+def test_select_scales_eligibility():
+    variables = {
+        "rgb/conv1_1/kernel": jnp.zeros((3, 3, 3, 64)),
+        "rgb/conv4_1/kernel": jnp.zeros((3, 3, 256, 512)),
+        "rgb/score/kernel": jnp.zeros((1, 1, 512, 14)),
+    }
+    amax = {
+        "rgb/conv1_1/input_amax": 2.0,
+        "rgb/conv4_1/input_amax": 8.0,
+        "rgb/score/input_amax": 4.0,
+        "rgb/nosuchconv/input_amax": 1.0,
+    }
+    scales = quantize.select_scales(amax, variables, min_channels=128)
+    assert set(scales) == {"rgb/conv4_1/input_amax",
+                           "rgb/score/input_amax"}
+    assert scales["rgb/conv4_1/input_amax"] == pytest.approx(8.0 / 127.0)
+
+
+@pytest.fixture(scope="module")
+def trained_fcn():
+    from modular_semantic_segmentation_tpu.datasets import get_dataset
+    data = get_dataset("unittest")(batchsize=4)
+    description = data.get_data_description()
+    net = get_model("simple_fcn")(
+        data_description=description, prefix="rgb", modality="rgb",
+        num_units=32, batchsize=4, learning_rate=0.002,
+        batch_normalization=True, output_dir=None)
+    net.fit(data.get_trainset(), 60)
+    return net, data
+
+
+def test_quantized_serving_score_parity(trained_fcn):
+    net, data = trained_fcn
+    float_measures, _ = net.score(data.get_testset())
+
+    scales = net.quantize_for_serving(data.get_measureset(), num_batches=2,
+                                      min_channels=64)
+    assert scales, "no convs were quantized"
+    assert net.act_scales
+    int8_measures, _ = net.score(data.get_testset())
+
+    # PTQ on the deep convs must not visibly move segmentation quality
+    assert abs(int8_measures["total_accuracy"]
+               - float_measures["total_accuracy"]) < 0.02
+    assert abs(int8_measures["mean_IoU"] - float_measures["mean_IoU"]) < 0.04
+
+    # round-trip: disabling returns the exact float path
+    net.dequantize_serving()
+    back, _ = net.score(data.get_testset())
+    np.testing.assert_allclose(back["mean_IoU"], float_measures["mean_IoU"],
+                               rtol=1e-6)
+
+    # re-enable from a saved scales dict without recalibration
+    again = net.quantize_for_serving(scales)
+    assert again == scales
