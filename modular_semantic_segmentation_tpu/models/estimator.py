@@ -316,13 +316,23 @@ class Estimator:
         self.act_scales = scales or None
         # fresh jit wrapper: the scales are baked into the trace as
         # constants, so the old compiled cache must not be reused
-        self._jit_eval_step = jax.jit(self._eval_step)
+        self._rejit_eval_step()
         return scales
 
     def dequantize_serving(self):
         """Return to the float serving path."""
         self.act_scales = None
-        self._jit_eval_step = jax.jit(self._eval_step)
+        self._rejit_eval_step()
+
+    def _rejit_eval_step(self):
+        """Invalidate the compiled eval step, preserving any data-parallel
+        shardings installed by parallel.distribute()."""
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            from modular_semantic_segmentation_tpu.parallel import distribute
+            distribute(self, mesh)
+        else:
+            self._jit_eval_step = jax.jit(self._eval_step)
 
     # ------------------------------------------------------------- weight IO
     def export_weights(self, save_dir=None):

@@ -111,3 +111,28 @@ def test_quantized_serving_score_parity(trained_fcn):
     # re-enable from a saved scales dict without recalibration
     again = net.quantize_for_serving(scales)
     assert again == scales
+
+
+def test_quantized_serving_preserves_distribution(trained_fcn):
+    """quantize_for_serving after parallel.distribute must keep the
+    batch-sharded eval step (and still run int8)."""
+    import jax
+    from modular_semantic_segmentation_tpu.parallel import (
+        make_mesh, distribute)
+
+    net, data = trained_fcn
+    try:
+        mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+        distribute(net, mesh)
+        sharded, _ = net.score(data.get_testset())
+        net.quantize_for_serving(data.get_measureset(), num_batches=1,
+                                 min_channels=64)
+        assert net.act_scales
+        q, _ = net.score(data.get_testset())
+        # eval step still carries the mesh shardings
+        assert getattr(net, "_mesh", None) is mesh
+        assert abs(q["mean_IoU"] - sharded["mean_IoU"]) < 0.04
+    finally:
+        net.dequantize_serving()
+        net._mesh = None
+        net._jit_eval_step = jax.jit(net._eval_step)
