@@ -94,50 +94,62 @@ def log_compile_time(fn, *args):
     return time.perf_counter() - start, result
 
 
-def device_time_fn(fn, *args, iters=20, repetitions=3):
+def device_time_fn(fn, *args, iters=50, repetitions=5, n2=None):
     """Time ``fn(*args)`` with the iteration loop ON THE DEVICE.
 
-    ``lax.fori_loop`` runs ``iters`` serial evaluations inside ONE compiled
-    program, so the measurement contains exactly one dispatch + one 4-byte
-    readback — immune to host<->device link latency and jitter (the ~30 ms
-    tunnel of this environment makes per-dispatch timing unreliable).
-    A vanishing carry perturbation (x + carry * 1e-30) chains iterations so
-    XLA can neither hoist the body out of the loop nor dead-code it.
+    ``lax.fori_loop`` runs the evaluations inside ONE compiled program, so
+    a measurement contains exactly one dispatch + one 4-byte readback —
+    immune to host<->device link latency (the ~30 ms tunnel of this
+    environment makes per-dispatch timing unreliable). A vanishing carry
+    perturbation (x + carry * 1e-30; runtime-dependent, numerically zero)
+    chains iterations so XLA can neither hoist the body out of the loop
+    nor CSE it across iterations.
 
-    Returns seconds per single fn evaluation (min over repetitions, loop
-    overhead removed via an iters=1 calibration run).
+    Loop-difference method: runs loops of ``iters`` and ``n2`` (default
+    4*iters) iterations, takes the MIN wall time over ``repetitions`` for
+    each length separately, and divides the difference of the two floors
+    by the iteration delta. Dispatch overhead is a constant floor plus
+    positive jitter, so it cancels exactly — the earlier
+    calibration-subtraction variant paired single measurements and
+    produced negative times for sub-ms kernels on this tunnel.
+
+    ``args`` are passed as real jit parameters (closing over device arrays
+    would bake them into the HLO as constants and can exceed the remote
+    compiler's request-size limit).
+
+    Returns seconds per single fn evaluation.
     """
     import jax.numpy as jnp
     from jax import lax
 
-    first = jax.tree_util.tree_leaves(args)[0]
+    n2 = n2 or 4 * iters
 
     def make(n):
         @jax.jit
-        def run():
+        def run(*a):
             def body(_, carry):
-                perturbed = jax.tree_util.tree_map(
-                    lambda a: (a + (carry * 1e-30).astype(a.dtype)
-                               if jnp.issubdtype(a.dtype, jnp.floating)
-                               else a),
-                    args)
-                out = fn(*perturbed)
+                def perturb(x):
+                    z = carry * 1e-30
+                    if jnp.issubdtype(x.dtype, jnp.floating):
+                        return x + z.astype(x.dtype)
+                    if jnp.issubdtype(x.dtype, jnp.integer):
+                        return x + z.astype(jnp.int32).astype(x.dtype)
+                    return x
+                out = fn(*jax.tree_util.tree_map(perturb, a))
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 return jnp.sum(leaf.astype(jnp.float32)) * 1e-30
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         return run
 
-    looped, single = make(iters), make(1)
-    np.asarray(looped())  # compile
-    np.asarray(single())
-    best = float("inf")
-    for _ in range(repetitions):
-        start = time.perf_counter()
-        np.asarray(single())
-        t1 = time.perf_counter() - start
-        start = time.perf_counter()
-        np.asarray(looped())
-        tn = time.perf_counter() - start
-        best = min(best, (tn - t1) / (iters - 1))
-    del first
-    return best
+    runs = {n: make(n) for n in (iters, n2)}
+    for r in runs.values():
+        np.asarray(r(*args))  # compile + warm
+    floors = {}
+    for n, r in runs.items():
+        best = float("inf")
+        for _ in range(repetitions):
+            start = time.perf_counter()
+            np.asarray(r(*args))
+            best = min(best, time.perf_counter() - start)
+        floors[n] = best
+    return (floors[n2] - floors[iters]) / (n2 - iters)

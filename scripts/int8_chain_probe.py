@@ -16,51 +16,12 @@ Run on the TPU: python scripts/int8_chain_probe.py
 
 import os
 import sys
-import time
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def loopdiff_time_fn(fn, *args, n1=50, n2=200, repetitions=6):
-    """Per-evaluation device time, loop-difference method (see
-    int8_probe.loopdiff_time_fn)."""
-    def make(n):
-        # args are REAL jit parameters — closing over device arrays would
-        # bake them into the HLO as constants and blow past the remote
-        # compiler's request-size limit (HTTP 413 on this tunnel).
-        @jax.jit
-        def run(*a):
-            def body(_, carry):
-                def perturb(x):
-                    z = (carry * 1e-30)
-                    if jnp.issubdtype(x.dtype, jnp.floating):
-                        return x + z.astype(x.dtype)
-                    return x + z.astype(jnp.int32).astype(x.dtype)
-                out = fn(*jax.tree_util.tree_map(perturb, a))
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return jnp.sum(leaf.astype(jnp.float32)) * 1e-30
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-        return run
-
-    runs = {n: make(n) for n in (n1, n2)}
-    for r in runs.values():
-        np.asarray(r(*args))
-    floors = {}
-    for n, r in runs.items():
-        best = float("inf")
-        for _ in range(repetitions):
-            t0 = time.perf_counter()
-            np.asarray(r(*args))
-            best = min(best, time.perf_counter() - t0)
-        floors[n] = best
-    return (floors[n2] - floors[n1]) / (n2 - n1)
+from modular_semantic_segmentation_tpu.utils.profiling import \
+    device_time_fn  # loop-difference method (stable over the tunnel)
 
 
 def conv_raw(x, k, accum):
@@ -110,14 +71,14 @@ def main():
 
         xb = jax.device_put(jnp.asarray(x, jnp.bfloat16))
         kbs = [jax.device_put(jnp.asarray(k, jnp.bfloat16)) for k in ks]
-        t_bf = loopdiff_time_fn(bf16_chain, xb, kbs, scales)
+        t_bf = device_time_fn(bf16_chain, xb, kbs, scales)
 
         xq = jax.device_put(jnp.asarray(
             np.clip(np.round(x * 127), -127, 127), jnp.int8))
         kqs = [jax.device_put(jnp.asarray(
             np.clip(np.round(k / np.abs(k).max() * 127), -127, 127),
             jnp.int8)) for k in ks]
-        t_i8 = loopdiff_time_fn(int8_chain, xq, kqs, scales)
+        t_i8 = device_time_fn(int8_chain, xq, kqs, scales)
 
         print(f"b{b} {h}x{w} c{c} x{n}: "
               f"bf16 {t_bf * 1e3:7.3f} ms {flops / t_bf / 1e12:6.1f} TF/s | "

@@ -17,58 +17,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def loopdiff_time_fn(fn, *args, n1=100, n2=400, repetitions=6):
-    """Per-evaluation device time via the loop-difference method.
-
-    Times a device-side fori_loop at n1 and n2 iterations and divides the
-    delta by (n2 - n1): constant dispatch/readback overhead cancels
-    exactly, which the calibration-subtraction in
-    utils.profiling.device_time_fn does not achieve for sub-ms kernels on
-    this ~30 ms-jitter tunnel (it produced negative times).
-    Inputs are perturbed by a runtime-zero derived from the carry so the
-    body can be neither hoisted nor CSE'd across iterations.
-    """
-    def make(n):
-        @jax.jit
-        def run():
-            def body(_, carry):
-                def perturb(a):
-                    z = (carry * 1e-30)
-                    if jnp.issubdtype(a.dtype, jnp.floating):
-                        return a + z.astype(a.dtype)
-                    return a + z.astype(jnp.int32).astype(a.dtype)
-                out = fn(*jax.tree_util.tree_map(perturb, args))
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return jnp.sum(leaf.astype(jnp.float32)) * 1e-30
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-        return run
-
-    runs = {n: make(n) for n in (n1, n2)}
-    for r in runs.values():
-        np.asarray(r())  # compile + warm
-    # min over repetitions PER loop length, then difference: dispatch
-    # overhead is a constant floor plus positive jitter, so the min is a
-    # stable floor estimate and the difference of floors cannot go
-    # negative the way per-pair differences do.
-    floors = {}
-    for n, r in runs.items():
-        best = float("inf")
-        for _ in range(repetitions):
-            t0 = time.perf_counter()
-            np.asarray(r())
-            best = min(best, time.perf_counter() - t0)
-        floors[n] = best
-    return (floors[n2] - floors[n1]) / (n2 - n1)
-
-
-device_time_fn = loopdiff_time_fn
+from modular_semantic_segmentation_tpu.utils.profiling import \
+    device_time_fn  # loop-difference method (stable over the tunnel)
 
 
 def conv(accum):
@@ -109,8 +63,8 @@ def main():
 
         xb = jax.device_put(jnp.asarray(x, jnp.bfloat16))
         kb = jax.device_put(jnp.asarray(k, jnp.bfloat16))
-        t_bf16 = device_time_fn(conv(jnp.float32), xb, kb)
-        t_bf16o = device_time_fn(conv(jnp.bfloat16), xb, kb)
+        t_bf16 = device_time_fn(conv(jnp.float32), xb, kb, iters=100)
+        t_bf16o = device_time_fn(conv(jnp.bfloat16), xb, kb, iters=100)
 
         xi = jax.device_put(jnp.asarray(
             np.clip(np.round(x * 127), -127, 127), jnp.int8))
@@ -118,7 +72,7 @@ def main():
             np.clip(np.round(k * 2540), -127, 127), jnp.int8))
         noise = jax.device_put(jnp.zeros((), jnp.float32))
         try:
-            t_int8 = device_time_fn(int8_conv, xi, ki, noise)
+            t_int8 = device_time_fn(int8_conv, xi, ki, noise, iters=100)
         except Exception as e:  # noqa: BLE001 — probing compiler support
             t_int8 = None
             print(f"int8 conv failed at {h}x{w}x{cin}->{cout}: {e}",
@@ -142,7 +96,7 @@ def main():
                     ).astype(jnp.bfloat16)
 
         try:
-            t_qdq = device_time_fn(qdq_conv, xf, ki, kscale, ascale)
+            t_qdq = device_time_fn(qdq_conv, xf, ki, kscale, ascale, iters=100)
         except Exception as e:  # noqa: BLE001
             t_qdq = None
             print(f"qdq conv failed: {e}", file=sys.stderr)

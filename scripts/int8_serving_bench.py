@@ -19,40 +19,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
-
-def loopdiff_time_fn(fn, *args, n1=20, n2=60, repetitions=5):
-    """Per-evaluation device time, loop-difference method (see
-    scripts/int8_probe.py — stable over the high-jitter tunnel)."""
-    import jax
-    import jax.numpy as jnp
-
-    def make(n):
-        @jax.jit
-        def run(*a):
-            def body(_, carry):
-                def perturb(x):
-                    z = (carry * 1e-30)
-                    if jnp.issubdtype(x.dtype, jnp.floating):
-                        return x + z.astype(x.dtype)
-                    return x
-                out = fn(*jax.tree_util.tree_map(perturb, a))
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return jnp.sum(leaf.astype(jnp.float32)) * 1e-30
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-        return run
-
-    runs = {n: make(n) for n in (n1, n2)}
-    for r in runs.values():
-        np.asarray(r(*args))
-    floors = {}
-    for n, r in runs.items():
-        best = float("inf")
-        for _ in range(repetitions):
-            t0 = time.perf_counter()
-            np.asarray(r(*args))
-            best = min(best, time.perf_counter() - t0)
-        floors[n] = best
-    return (floors[n2] - floors[n1]) / (n2 - n1)
+from modular_semantic_segmentation_tpu.utils.profiling import \
+    device_time_fn  # loop-difference method (stable over the tunnel)
 
 
 def main():
@@ -82,7 +50,7 @@ def main():
         variables = {k: jax.device_put(v) for k, v in net.variables.items()}
         dbatch = {k: jax.device_put(v) for k, v in batch.items()}
 
-        t_float = loopdiff_time_fn(forward, variables, dbatch)
+        t_float = device_time_fn(forward, variables, dbatch, iters=20, n2=60)
 
         # calibrate on the same frames (scale quality is irrelevant for
         # timing; accuracy parity is locked by tests/test_quantized_serving)
@@ -90,9 +58,9 @@ def main():
         scales = net.quantize_for_serving(batch, num_batches=1)
         print(f"quantized convs: {len(scales)}", file=sys.stderr)
 
-        t_int8 = loopdiff_time_fn(
+        t_int8 = device_time_fn(
             lambda v, b: forward(v, b, act_scales=net.act_scales),
-            variables, dbatch)
+            variables, dbatch, iters=20, n2=60)
 
         def fps(t):
             return batch_size / t
