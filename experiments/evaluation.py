@@ -133,13 +133,25 @@ def all_synthia(modelname, net_config, evaluation_data, starting_weights,
 
 
 @ex.main
-def main(modelname, net_config, evaluation_data, starting_weights, _run):
+def main(modelname, net_config, evaluation_data, starting_weights, _run,
+         quantized_serving=False):
+    """Evaluate; ``with quantized_serving=True`` calibrates int8 PTQ
+    scales on the measure set first (models/quantize.py) and scores the
+    test set through the int8 serving path. Pass an integer instead of
+    True to override the minimum-input-channel eligibility threshold
+    (default 128, the measured break-even — docs/TIMING.md)."""
     data_cls = get_dataset(evaluation_data["dataset"])
     model = get_model(modelname)
     with model(data_description=data_cls.get_data_description(),
                **net_config) as net:
         import_weights_into_network(net, starting_weights)
         data = load_data(evaluation_data)
+        if quantized_serving:
+            min_ch = (int(quantized_serving)
+                      if not isinstance(quantized_serving, bool) else 128)
+            scales = net.quantize_for_serving(data.get_measureset(),
+                                              min_channels=min_ch)
+            _run.info["quantization_scales"] = scales
         measurements, confusion_matrix = evaluate(net, data)
         _run.info["measurements"] = measurements
         _run.info["confusion_matrix"] = confusion_matrix

@@ -26,7 +26,8 @@ ex.observers.append(get_observer())
 HEIGHT, WIDTH = 768, 384
 
 DEFAULTS = dict(num_units=64, num_classes=14, repetitions=50,
-                compute_dtype="bfloat16", num_samples=5, dropout_rate=0.2)
+                compute_dtype="bfloat16", num_samples=5, dropout_rate=0.2,
+                int8=False)
 
 
 def _cfg(overrides):
@@ -46,16 +47,25 @@ def _inputs(modalities):
     return {m: np.ones(shapes[m], np.float32) for m in modalities}
 
 
-def _time(net, batch, repetitions):
+def _time(net, batch, cfg):
+    repetitions = cfg["repetitions"]
     import jax
     from modular_semantic_segmentation_tpu.ops.variables import Ctx
     from modular_semantic_segmentation_tpu.utils.profiling import time_fn
 
     rng = jax.random.PRNGKey(0)
 
+    if cfg.get("int8"):
+        # int8 PTQ serving path (models/quantize.py; `with int8=True`) —
+        # calibration inputs don't matter for timing, accuracy parity is
+        # locked by tests/test_quantized_serving.py
+        net.config.setdefault("batchsize", 1)
+        net.quantize_for_serving(batch, num_batches=1)
+
     def forward(variables, batch):
         ctx = Ctx(variables, train=False, rng=rng,
-                  compute_dtype=net.compute_dtype)
+                  compute_dtype=net.compute_dtype,
+                  act_scales=net.act_scales)
         return net._test_outputs(ctx, batch)["prediction"]
 
     fn = jax.jit(forward)
@@ -103,67 +113,67 @@ def _record(_run, name, result):
 
 @ex.command
 def time_rgb_fcn(_run, num_units=None, num_classes=None, repetitions=None,
-                 compute_dtype=None):
+                 compute_dtype=None, int8=None):
     cfg = _cfg(locals())
     net = get_model("simple_fcn")(**_expert_config(cfg, "rgb"))
     _record(_run, "rgb_fcn", _time(net, _inputs(["rgb"]),
-                                   cfg["repetitions"]))
+                                   cfg))
 
 
 @ex.command
 def time_depth_fcn(_run, num_units=None, num_classes=None, repetitions=None,
-                   compute_dtype=None):
+                   compute_dtype=None, int8=None):
     cfg = _cfg(locals())
     net = get_model("simple_fcn")(**_expert_config(cfg, "depth"))
     _record(_run, "depth_fcn", _time(net, _inputs(["depth"]),
-                                     cfg["repetitions"]))
+                                     cfg))
 
 
 @ex.command
 def time_fusion_fcn(_run, num_units=None, num_classes=None, repetitions=None,
-                    compute_dtype=None):
+                    compute_dtype=None, int8=None):
     cfg = _cfg(locals())
     net = get_model("fusion_fcn")(
         data_description=_description(cfg["num_classes"]),
         prefixes={"rgb": "rgb", "depth": "depth"},
         num_units=cfg["num_units"], compute_dtype=cfg["compute_dtype"])
     _record(_run, "fusion_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+            _time(net, _inputs(["rgb", "depth"]), cfg))
 
 
 @ex.command
 def time_average_fcn(_run, num_units=None, num_classes=None,
-                     repetitions=None, compute_dtype=None):
+                     repetitions=None, compute_dtype=None, int8=None):
     cfg = _cfg(locals())
     net = get_model("average")(**_fusion_config(cfg))
     _record(_run, "average_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+            _time(net, _inputs(["rgb", "depth"]), cfg))
 
 
 @ex.command
 def time_bayes_fcn(_run, num_units=None, num_classes=None, repetitions=None,
-                   compute_dtype=None):
+                   compute_dtype=None, int8=None):
     cfg = _cfg(locals())
     net = get_model("bayes_mix")(**_fusion_config(
         cfg, confusion_matrices=_random_cms(cfg["num_classes"])))
     _record(_run, "bayes_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+            _time(net, _inputs(["rgb", "depth"]), cfg))
 
 
 @ex.command
 def time_bayes_lookup_fcn(_run, num_units=None, num_classes=None,
-                          repetitions=None, compute_dtype=None):
+                          repetitions=None, compute_dtype=None, int8=None):
     cfg = _cfg(locals())
     net = get_model("bayes_mix")(**_fusion_config(
         cfg, confusion_matrices=_random_cms(cfg["num_classes"]),
         use_decision_matrix=True))
     _record(_run, "bayes_lookup_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+            _time(net, _inputs(["rgb", "depth"]), cfg))
 
 
 @ex.command
 def time_dirichlet_fcn(_run, num_units=None, num_classes=None,
-                       repetitions=None, compute_dtype=None):
+                       repetitions=None, compute_dtype=None, int8=None):
     cfg = _cfg(locals())
     k = cfg["num_classes"]
     rng = np.random.RandomState(0)
@@ -173,30 +183,30 @@ def time_dirichlet_fcn(_run, num_units=None, num_classes=None,
     net = get_model("dirichlet_mix")(**_fusion_config(
         cfg, dirichlet_params=params, sigma=0.2))
     _record(_run, "dirichlet_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+            _time(net, _inputs(["rgb", "depth"]), cfg))
 
 
 @ex.command
 def time_variance_fcn(_run, num_units=None, num_classes=None,
                       repetitions=None, compute_dtype=None,
-                      num_samples=None, dropout_rate=None):
+                      num_samples=None, dropout_rate=None, int8=None):
     cfg = _cfg(locals())
     net = get_model("variance")(**_fusion_config(
         cfg, num_samples=cfg["num_samples"],
         dropout_rate=cfg["dropout_rate"]))
     _record(_run, "variance_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg["repetitions"]))
+            _time(net, _inputs(["rgb", "depth"]), cfg))
 
 
 @ex.main
 def main(_run, num_units=None, num_classes=None, repetitions=None,
-         compute_dtype=None):
+         compute_dtype=None, int8=None):
     """Time every configuration (the full paper Table V sweep)."""
     for cmd in [time_rgb_fcn, time_depth_fcn, time_average_fcn,
                 time_bayes_fcn, time_bayes_lookup_fcn, time_dirichlet_fcn,
                 time_fusion_fcn, time_variance_fcn]:
         cmd(_run=_run, num_units=num_units, num_classes=num_classes,
-            repetitions=repetitions, compute_dtype=compute_dtype)
+            repetitions=repetitions, compute_dtype=compute_dtype, int8=int8)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,23 @@ def test_evaluation_cli_loads_run_weights(storage, training_run):
     assert "total accuracy" in result.stdout
 
 
+def test_evaluation_cli_quantized_serving(storage, training_run):
+    """`with quantized_serving=True` calibrates int8 PTQ scales on the
+    measure set and scores through the int8 path (models/quantize.py)."""
+    result = _run_cli(
+        "experiments.evaluation",
+        ["with"] + [
+            "modelname=simple_fcn", f"starting_weights={training_run}",
+            "evaluation_data.dataset=unittest",
+            "evaluation_data.height=32", "evaluation_data.width=32",
+            "evaluation_data.num_test=2",
+            "quantized_serving=4",  # tiny net: lower the channel threshold
+            "net_config.prefix=rgb", "net_config.modality=rgb",
+            "net_config.num_units=4", "net_config.batchsize=2"],
+        storage)
+    assert "total accuracy" in result.stdout
+
+
 def test_bayes_fusion_cli(storage, training_run):
     """fit_and_evaluate: expert scoring -> confusion matrices -> fusion."""
     # train a depth expert (rgb expert = the fixture's run)
