@@ -59,7 +59,6 @@ def _time(net, batch, cfg):
         # int8 PTQ serving path (models/quantize.py; `with int8=True`) —
         # calibration inputs don't matter for timing, accuracy parity is
         # locked by tests/test_quantized_serving.py
-        net.config.setdefault("batchsize", 1)
         net.quantize_for_serving(batch, num_batches=1)
 
     def forward(variables, batch):

@@ -301,9 +301,10 @@ class Estimator:
         (use the measure set — same data the fusion models are fitted on),
         then switches eligible convs (>= ``min_channels`` input channels)
         to the int8 MXU path for all subsequent predict/score calls.
-        Training and weight IO are unaffected; call with ``data=None`` and
-        a previously returned scales dict to re-enable without
-        recalibration. Returns the scales dict.
+        Training and weight IO are unaffected. To re-enable without
+        recalibration, pass a previously returned scales dict AS ``data``.
+        Returns the scales dict (empty + a warning if no conv qualifies —
+        serving then stays on the float path).
         """
         from modular_semantic_segmentation_tpu.models import quantize as q
         if isinstance(data, dict) and all(
@@ -313,6 +314,9 @@ class Estimator:
             amax = q.calibrate_amax(self, data, num_batches=num_batches)
             scales = q.select_scales(amax, self.variables,
                                      min_channels=min_channels)
+        if not scales:
+            print("WARNING: quantize_for_serving found no conv with >= "
+                  f"{min_channels} input channels — serving stays float.")
         self.act_scales = scales or None
         # fresh jit wrapper: the scales are baked into the trace as
         # constants, so the old compiled cache must not be reused

@@ -52,8 +52,10 @@ def calibrate_amax(net, data, num_batches=8):
         return ctx.amax
 
     running = {}
+    # pad=True keeps every batch at the full static shape — a trailing
+    # partial batch would otherwise force a second full-network compile
     for i, (batch, _valid) in enumerate(iterate_batches(
-            data, net.config["batchsize"])):
+            data, net.config["batchsize"], pad=True)):
         if i >= num_batches:
             break
         batch = {k: v for k, v in batch.items() if k != "labels"}

@@ -108,9 +108,13 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
         quant_key = ctx.full_name("input_amax")
         if ctx.calibrate:
             # PTQ calibration pass (models/quantize.py): record the input's
-            # absolute max, keyed by this conv's scope.
-            ctx.amax[quant_key] = jnp.max(jnp.abs(
-                x.astype(jnp.float32)))
+            # absolute max, keyed by this conv's scope. Running max across
+            # invocations — MC-sampling models (variance_fusion) re-enter
+            # the same conv scope several times per forward.
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            if quant_key in ctx.amax:
+                amax = jnp.maximum(ctx.amax[quant_key], amax)
+            ctx.amax[quant_key] = amax
         int8_serving = (not ctx.train and not ctx.calibrate
                         and ctx.act_scales is not None
                         and quant_key in ctx.act_scales

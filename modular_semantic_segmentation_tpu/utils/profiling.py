@@ -122,7 +122,9 @@ def device_time_fn(fn, *args, iters=50, repetitions=5, n2=None):
     import jax.numpy as jnp
     from jax import lax
 
-    n2 = n2 or 4 * iters
+    n2 = 4 * iters if n2 is None else n2
+    if n2 <= iters:
+        raise ValueError(f"n2 ({n2}) must exceed iters ({iters})")
 
     def make(n):
         @jax.jit

@@ -56,6 +56,29 @@ def test_conv2d_calibration_records_amax():
                                float(jnp.max(jnp.abs(x))), rtol=1e-6)
 
 
+def test_calibration_running_max_over_reentrant_scopes():
+    """MC-sampling models re-enter the same conv scope several times per
+    forward (variance_fusion); calibration must keep the max over ALL
+    invocations, not the last one."""
+    big = jnp.ones((1, 4, 4, 8), jnp.float32) * 7.0
+    small = jnp.ones((1, 4, 4, 8), jnp.float32) * 2.0
+
+    def net(ctx, xs):
+        outs = []
+        for x in xs:  # same scope, two invocations
+            outs.append(layers.conv2d(ctx, x, 4, 3, "shared",
+                                      activation=None, use_bias=False))
+        return outs[0] + outs[1]
+
+    variables, _ = init_variables(net, jax.random.PRNGKey(0), [big, small])
+    ctx = Ctx(variables, calibrate=True)
+    net(ctx, [big, small])
+    np.testing.assert_allclose(float(ctx.amax["shared/input_amax"]), 7.0)
+    ctx = Ctx(variables, calibrate=True)
+    net(ctx, [small, big])  # order must not matter
+    np.testing.assert_allclose(float(ctx.amax["shared/input_amax"]), 7.0)
+
+
 def test_select_scales_eligibility():
     variables = {
         "rgb/conv1_1/kernel": jnp.zeros((3, 3, 3, 64)),
@@ -111,6 +134,8 @@ def test_quantized_serving_score_parity(trained_fcn):
     # re-enable from a saved scales dict without recalibration
     again = net.quantize_for_serving(scales)
     assert again == scales
+    # leave the shared fixture in the float state for later tests
+    net.dequantize_serving()
 
 
 def test_quantized_serving_preserves_distribution(trained_fcn):
