@@ -159,3 +159,4 @@ def test_batch_norm_bf16_training_stats_are_float32():
     expect_var = x_r.var((0, 1, 2))
     np.testing.assert_allclose(got_mean, expect_mean, rtol=1e-4)
     np.testing.assert_allclose(got_var, expect_var, rtol=1e-3)
+
