@@ -39,10 +39,12 @@ def dispatch_experts(fusion_model, batch, devices=None):
     futures = {}
     for i, modality in enumerate(fusion_model.modalities):
         device = devices[i % len(devices)]
-        fn = jax.jit(expert_fn(modality), device=device)
+        fn = jax.jit(expert_fn(modality))
+        # committed inputs pin the computation to the expert's device
+        placed = {k: jax.device_put(v, device) for k, v in variables.items()}
         x = jax.device_put(np.asarray(batch[modality]), device)
         # async dispatch: all experts run concurrently on their devices
-        futures[modality] = fn(variables, x)
+        futures[modality] = fn(placed, x)
 
     return {m: {"prob": np.asarray(prob), "classification": np.asarray(cls)}
             for m, (prob, cls) in futures.items()}
