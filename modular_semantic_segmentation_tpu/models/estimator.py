@@ -157,6 +157,14 @@ class Estimator:
 
     def _train_step(self, variables, opt_state, batch, rng):
         num_classes = self.config["num_classes"]
+        if self.config.get("device_augmentation"):
+            # augmentation runs on device INSIDE the jitted step (the host
+            # pipeline was the reference's bottleneck, SURVEY.md §7); raw
+            # [0, 255] frames in, same probability-gated op set
+            from modular_semantic_segmentation_tpu.ops import device_augment
+            rng, aug_rng = jax.random.split(rng)
+            batch = device_augment.augment_batch(
+                aug_rng, batch, **self.config["device_augmentation"])
         train_batch = dict(self._preprocess(batch))
         train_batch["labels"] = jax.nn.one_hot(
             batch["labels"], num_classes, dtype=jnp.float32)
