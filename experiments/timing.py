@@ -197,6 +197,48 @@ def time_variance_fcn(_run, num_units=None, num_classes=None,
             _time(net, _inputs(["rgb", "depth"]), cfg))
 
 
+@ex.command
+def time_train_step(_run, num_units=None, num_classes=None,
+                    repetitions=None, compute_dtype=None, batchsize=1,
+                    augment=False, height=HEIGHT, width=WIDTH):
+    """Full SimpleFCN train step (forward + backward + Adam + BN stats) on
+    constant frames; ``augment=True`` adds the on-device augmentation chain
+    (scale / crop-to-width / hflip / gamma, ops/device_augment.py). The
+    reference has no training-throughput harness — its 60k-iteration runs
+    were simply left running; this quantifies ours (docs/TIMING.md).
+    Measured with the loop-difference device timer (the iteration loop runs
+    on device, immune to host-link jitter)."""
+    import jax
+    from modular_semantic_segmentation_tpu.utils.profiling import \
+        device_time_fn
+
+    cfg = _cfg(dict(num_units=num_units, num_classes=num_classes,
+                    repetitions=repetitions, compute_dtype=compute_dtype))
+    kwargs = _expert_config(cfg, "rgb")
+    kwargs["batch_normalization"] = True
+    if augment:
+        kwargs["device_augmentation"] = dict(
+            scale=(0.4, 0.7, 1.5), crop=(1.0, width), hflip=0.5,
+            gamma=(0.4, 0.3, 1.2))
+    net = get_model("simple_fcn")(batchsize=batchsize, **kwargs)
+    rng = np.random.RandomState(0)
+    batch = {
+        "rgb": jax.device_put(np.asarray(
+            rng.rand(batchsize, height, width, 3) * 255, np.float32)),
+        "labels": jax.device_put(rng.randint(
+            0, cfg["num_classes"],
+            (batchsize, height, width)).astype(np.int32))}
+    variables = {k: jax.device_put(v) for k, v in net.variables.items()}
+    opt_state = jax.device_put(net.opt_state)
+    spf = device_time_fn(net._train_step, variables, opt_state, batch,
+                         jax.random.PRNGKey(0), iters=8, repetitions=3)
+    result = {"s_per_step": spf, "img_per_s": batchsize / spf,
+              "batchsize": batchsize, "augment": bool(augment)}
+    print(f"train step (batch {batchsize}, augment={bool(augment)}): "
+          f"{spf:.4f} s/step, {batchsize / spf:.1f} img/s")
+    _record(_run, "train_step", result)
+
+
 @ex.main
 def main(_run, num_units=None, num_classes=None, repetitions=None,
          compute_dtype=None, int8=None):
