@@ -64,14 +64,8 @@ def main():
     if os.environ.get("MSSTPU_BENCH_INT8"):
         net.quantize_for_serving(batch, num_batches=1)
 
-    def forward(variables, batch):
-        from modular_semantic_segmentation_tpu.ops.variables import Ctx
-        ctx = Ctx(variables, train=False, rng=rng,
-                  compute_dtype=net.compute_dtype,
-                  act_scales=net.act_scales)
-        return net._test_outputs(ctx, batch)["prediction"]
-
-    # Serving program: 4 statically-unrolled batch-1 forwards per dispatch.
+    # Serving program: 4 statically-unrolled batch-1 forwards per dispatch
+    # (serving.InferenceServer — the library's production serving path).
     # Each frame still runs the exact batch-1 inference graph (the
     # reference's Table V semantics); unrolling only amortizes the
     # per-dispatch host/RPC cost, which otherwise costs ~0.9 ms/frame on
@@ -80,7 +74,9 @@ def main():
     # lax.map and true batch-8 were both measured slower (10.8 / 14.8
     # ms/frame): the map loop serializes without overlap, and large-batch
     # spatial tiling degrades at these shapes.
-    unroll = jax.jit(lambda v, bs: [forward(v, b) for b in bs])
+    from modular_semantic_segmentation_tpu.serving import InferenceServer
+    program = InferenceServer(net, unroll=4).group_program
+    unroll = lambda v, bs: program(v, bs, rng)  # noqa: E731
     # variables are already device-resident; device_put is a no-op then
     variables = {k: jax.device_put(v) for k, v in net.variables.items()}
 

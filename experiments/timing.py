@@ -198,6 +198,23 @@ def time_variance_fcn(_run, num_units=None, num_classes=None,
 
 
 @ex.command
+def time_adapnet(_run, num_units=None, num_classes=None, repetitions=None,
+                 compute_dtype=None, int8=None, modality="rgb"):
+    """AdapNet single-expert inference. The reference's Table V times only
+    the SimpleFCN family (timing.py:23-311), but its headline quality
+    tables (I-III) use AdapNet experts — this measures the architecture
+    those numbers actually run on."""
+    cfg = _cfg(dict(num_units=num_units, num_classes=num_classes,
+                    repetitions=repetitions, compute_dtype=compute_dtype,
+                    int8=int8))
+    kwargs = _expert_config(cfg, modality)
+    del kwargs["batch_normalization"]  # AdapNet always batch-normalizes
+    net = get_model("adapnet")(**kwargs)
+    _record(_run, f"adapnet_{modality}", _time(net, _inputs([modality]),
+                                               cfg))
+
+
+@ex.command
 def time_train_step(_run, num_units=None, num_classes=None,
                     repetitions=None, compute_dtype=None, batchsize=1,
                     augment=False, height=HEIGHT, width=WIDTH):
@@ -231,7 +248,8 @@ def time_train_step(_run, num_units=None, num_classes=None,
     variables = {k: jax.device_put(v) for k, v in net.variables.items()}
     opt_state = jax.device_put(net.opt_state)
     spf = device_time_fn(net._train_step, variables, opt_state, batch,
-                         jax.random.PRNGKey(0), iters=8, repetitions=3)
+                         jax.random.PRNGKey(0), iters=8,
+                         repetitions=cfg["repetitions"])
     result = {"s_per_step": spf, "img_per_s": batchsize / spf,
               "batchsize": batchsize, "augment": bool(augment)}
     print(f"train step (batch {batchsize}, augment={bool(augment)}): "

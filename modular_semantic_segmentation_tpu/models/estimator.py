@@ -337,12 +337,13 @@ class Estimator:
         self._rejit_eval_step()
 
     def _rejit_eval_step(self):
-        """Invalidate the compiled eval step, preserving any data-parallel
-        shardings installed by parallel.distribute()."""
-        mesh = getattr(self, "_mesh", None)
-        if mesh is not None:
-            from modular_semantic_segmentation_tpu.parallel import distribute
-            distribute(self, mesh)
+        """Invalidate the compiled eval step, preserving any mesh shardings
+        installed by parallel.distribute()/distribute_tp() (each records its
+        own re-apply closure so quantize/dequantize cannot silently replace
+        a tensor-parallel layout with replicated shardings)."""
+        redistribute = getattr(self, "_redistribute", None)
+        if redistribute is not None:
+            redistribute()
         else:
             self._jit_eval_step = jax.jit(self._eval_step)
 

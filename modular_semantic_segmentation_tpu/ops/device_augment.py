@@ -178,6 +178,15 @@ def _sample_geometry(key, in_h, in_w, out_h, out_w, scale, crop, hflip,
     return m
 
 
+def _cast_back(out, dtype):
+    """Round (not truncate) when casting interpolated floats back to an
+    integer image dtype — matches cv2's rounded INTER_LINEAR instead of
+    introducing a systematic -0.5 LSB bias on uint8 frames."""
+    if jnp.issubdtype(dtype, jnp.integer):
+        out = jnp.round(out)
+    return out.astype(dtype)
+
+
 def _sample_separable(image, src_y, src_x, order):
     """Sample an axis-aligned map (row coords depend only on y, column
     coords only on x) with whole-row/column ``jnp.take``s instead of the
@@ -207,7 +216,7 @@ def _sample_separable(image, src_y, src_x, order):
         wx = wx.reshape((1, -1) + (1,) * (img.ndim - 2))
         out = (jnp.take(rows, x0, axis=1) * (1.0 - wx)
                + jnp.take(rows, x1, axis=1) * wx)
-    return out.astype(image.dtype)
+    return _cast_back(out, image.dtype)
 
 
 def _warp(image, m, out_h, out_w, order, axis_aligned=False):
@@ -237,10 +246,11 @@ def _warp(image, m, out_h, out_w, order, axis_aligned=False):
 
     if image.ndim == 2:
         out = sample_channel(image.astype(jnp.float32))
-        return out.reshape(out_h, out_w).astype(image.dtype)
+        return _cast_back(out.reshape(out_h, out_w), image.dtype)
     out = jax.vmap(sample_channel, in_axes=-1, out_axes=-1)(
         image.astype(jnp.float32))
-    return out.reshape(out_h, out_w, image.shape[-1]).astype(image.dtype)
+    return _cast_back(out.reshape(out_h, out_w, image.shape[-1]),
+                      image.dtype)
 
 
 def _photometric(key, rgb, gamma, contrast, brightness):
@@ -294,8 +304,9 @@ def augment_sample(key, blob, scale=False, crop=False, hflip=False,
                               axis_aligned=axis_aligned)
 
     if "rgb" in out and (gamma or contrast or brightness):
-        out["rgb"] = _photometric(photo_key, out["rgb"], gamma, contrast,
-                                  brightness).astype(out["rgb"].dtype)
+        out["rgb"] = _cast_back(
+            _photometric(photo_key, out["rgb"], gamma, contrast, brightness),
+            out["rgb"].dtype)
 
     if label_flip and "labels" in out:
         c1, c2 = int(label_flip[0]), int(label_flip[1])

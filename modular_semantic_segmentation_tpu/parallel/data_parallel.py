@@ -31,4 +31,6 @@ def distribute(estimator, mesh, data_axis="data"):
         estimator._eval_step,
         in_shardings=(repl, data, repl))
     estimator._mesh = mesh
+    # re-applied by Estimator._rejit_eval_step (quantize/dequantize)
+    estimator._redistribute = lambda: distribute(estimator, mesh, data_axis)
     return estimator

@@ -81,7 +81,8 @@ def fcn_inference_pipeline(estimator, devices=None):
 
     def encoder_stage(variables, batch):
         ctx = Ctx(variables, train=False,
-                  compute_dtype=estimator.compute_dtype)
+                  compute_dtype=estimator.compute_dtype,
+                  act_scales=estimator.act_scales)
         inputs = estimator._preprocess(batch)[modality]
         return encoder(ctx, inputs, prefix, config["num_units"],
                        trainable=config["train_encoder"],
@@ -89,7 +90,8 @@ def fcn_inference_pipeline(estimator, devices=None):
 
     def decoder_stage(variables, features):
         ctx = Ctx(variables, train=False,
-                  compute_dtype=estimator.compute_dtype)
+                  compute_dtype=estimator.compute_dtype,
+                  act_scales=estimator.act_scales)
         score = decoder(ctx, features, prefix, config["num_units"],
                         config["num_classes"],
                         trainable=config["train_encoder"],

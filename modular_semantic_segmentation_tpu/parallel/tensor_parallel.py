@@ -78,4 +78,8 @@ def distribute_tp(estimator, mesh, data_axis="data", model_axis="model"):
         estimator._eval_step,
         in_shardings=(var_shard, data, repl))
     estimator._mesh = mesh
+    # re-applied by Estimator._rejit_eval_step (quantize/dequantize) so the
+    # channel shardings survive a serving-mode switch
+    estimator._redistribute = lambda: distribute_tp(
+        estimator, mesh, data_axis, model_axis)
     return estimator

@@ -165,6 +165,29 @@ def test_train_step_with_device_augmentation():
         assert np.isfinite(float(loss))
 
 
+def test_uint8_warp_rounds_instead_of_truncating():
+    """Casting interpolated floats back to an integer image dtype must
+    round (cv2's INTER_LINEAR semantics) — truncation would bias every
+    uint8 frame by -0.5 LSB on average."""
+    rng = np.random.RandomState(9)
+    img_f = np.asarray(rng.randint(0, 256, (24, 20, 3)), np.float32)
+    img_u8 = jnp.asarray(img_f, jnp.uint8)
+    # non-integer scale so sampled values land between grid points
+    m = jnp.array([[0.73, 0.0, 1.2], [0.0, 1.31, 0.4], [0.0, 0.0, 1.0]])
+    for axis_aligned in (True, False):
+        want = np.round(np.asarray(
+            da._warp(jnp.asarray(img_f), m, 16, 16, 1,
+                     axis_aligned=axis_aligned), np.float64))
+        got = np.asarray(
+            da._warp(img_u8, m, 16, 16, 1, axis_aligned=axis_aligned),
+            np.float64)
+        # identical sampling math; only the final cast differs (allow 1 LSB
+        # for float draws landing exactly on .5)
+        assert np.abs(got - want).max() <= 1.0
+        assert np.abs(got - want).mean() < 0.05, \
+            "systematic truncation bias detected"
+
+
 def test_separable_fast_path_matches_general_warp():
     """The axis-aligned separable sampler is the same math as the gather
     path (bilinear and nearest, edge clamp) — bit-near-equal."""

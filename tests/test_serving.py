@@ -1,0 +1,52 @@
+"""Pipelined serving API: parity with predict(), tail + order handling."""
+
+import numpy as np
+
+from modular_semantic_segmentation_tpu.datasets import get_dataset
+from modular_semantic_segmentation_tpu.models import get_model
+from modular_semantic_segmentation_tpu.serving import (InferenceServer,
+                                                       serve_frames)
+
+
+def _net_and_frames(num_frames=7):
+    data = get_dataset("unittest")(height=32, width=32, num_train=4,
+                                   num_measure=2, num_test=num_frames)
+    net = get_model("simple_fcn")(
+        prefix="rgb", modality="rgb", num_units=4,
+        data_description=data.get_data_description(), batchsize=1, seed=5)
+    batch = next(data.get_testset().batches(num_frames))
+    frames = [{"rgb": np.asarray(batch["rgb"][i])}
+              for i in range(num_frames)]
+    return net, frames, {"rgb": np.asarray(batch["rgb"])}
+
+
+def test_serving_matches_predict_with_tail_group():
+    """7 frames at unroll=4: one full group + a padded tail group, outputs
+    equal to the per-batch predict() path, in input order."""
+    net, frames, full = _net_and_frames(7)
+    want = net.predict(full)
+    got = InferenceServer(net, unroll=4, max_in_flight=2).predict(frames)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_serving_prob_output_attr():
+    net, frames, full = _net_and_frames(3)
+    want = net.predict(full, output_attr="prob")
+    got = serve_frames(net, frames, unroll=2, output_attr="prob")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_serving_single_frame_stream():
+    net, frames, full = _net_and_frames(1)
+    want = net.predict(full)
+    outs = list(InferenceServer(net, unroll=4).predict_stream(frames))
+    assert len(outs) == 1
+    np.testing.assert_array_equal(outs[0], want[0])
+
+
+def test_serving_compiles_once_across_groups():
+    net, frames, _ = _net_and_frames(8)
+    server = InferenceServer(net, unroll=4)
+    server.predict(frames)
+    # full group and padded tail share the one static-shape program
+    assert server.group_program._cache_size() == 1
