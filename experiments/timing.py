@@ -160,6 +160,20 @@ def time_bayes_fcn(_run, num_units=None, num_classes=None, repetitions=None,
 
 
 @ex.command
+def time_bayes_adapnet(_run, num_units=None, num_classes=None,
+                       repetitions=None, compute_dtype=None, int8=None):
+    """Fused Bayes with ADAPNET experts — the expert architecture behind
+    the reference's headline quality tables I-III (its Table V timing only
+    covered the SimpleFCN family)."""
+    cfg = _cfg(locals())
+    net = get_model("bayes_mix")(**_fusion_config(
+        cfg, confusion_matrices=_random_cms(cfg["num_classes"]),
+        expert_model="adapnet"))
+    _record(_run, "bayes_adapnet",
+            _time(net, _inputs(["rgb", "depth"]), cfg))
+
+
+@ex.command
 def time_bayes_lookup_fcn(_run, num_units=None, num_classes=None,
                           repetitions=None, compute_dtype=None, int8=None):
     cfg = _cfg(locals())

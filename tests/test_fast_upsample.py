@@ -6,8 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from modular_semantic_segmentation_tpu.ops.fast_upsample import \
-    diagonal_upsample
+from modular_semantic_segmentation_tpu.ops.fast_upsample import (
+    dense_phase_upsample, diagonal_upsample)
 from modular_semantic_segmentation_tpu.ops.init import bilinear_filter
 from modular_semantic_segmentation_tpu.ops.variables import Ctx
 from modular_semantic_segmentation_tpu.ops import layers
@@ -44,6 +44,67 @@ def test_matches_for_asymmetric_diagonal_kernel():
         x, jnp.asarray(dense), (s, s), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
     got = diagonal_upsample(x, jnp.asarray(diag), s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,size,cin,cout", [
+    (16, 8, (6, 5), 4, 3), (4, 2, (7, 9), 5, 2), (8, 4, (5, 5), 2, 6),
+    (6, 2, (4, 6), 3, 3),  # k = 3s: 3-tap phases, wider offset window
+])
+def test_dense_phase_upsample_matches_conv_transpose(k, s, size, cin, cout):
+    """The dense-kernel phase decomposition (AdapNet's TRAINABLE deconvs)
+    equals lax.conv_transpose for arbitrary dense kernels, cin != cout."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, *size, cin).astype(np.float32))
+    kernel = rng.randn(k, k, cout, cin).astype(np.float32)
+    want = jax.lax.conv_transpose(
+        x, jnp.asarray(kernel), (s, s), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
+    got = dense_phase_upsample(x, jnp.asarray(kernel), s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dense_phase_upsample_gradients_match():
+    """The trainable-deconv path must differentiate: kernel gradients of
+    the phase-decomposed form equal the conv_transpose gradients."""
+    rng = np.random.RandomState(4)
+    k, s, cin, cout = 4, 2, 3, 2
+    x = jnp.asarray(rng.randn(1, 5, 6, cin).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(k, k, cout, cin).astype(np.float32))
+
+    def loss_fast(kern):
+        return jnp.sum(dense_phase_upsample(x, kern, s) ** 2)
+
+    def loss_ref(kern):
+        out = jax.lax.conv_transpose(
+            x, kern, (s, s), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True)
+        return jnp.sum(out ** 2)
+
+    g_fast = jax.grad(loss_fast)(kernel)
+    g_ref = jax.grad(loss_ref)(kernel)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_deconv2d_trainable_dense_path_matches_conv_transpose():
+    """deconv2d with a trainable non-diagonal kernel (AdapNet's
+    upconvolutions) routes through dense_phase_upsample, unchanged."""
+    rng = np.random.RandomState(5)
+    cin, cout = 5, 3
+    x = jnp.asarray(rng.randn(1, 6, 4, cin).astype(np.float32))
+    kernel = rng.randn(4, 4, cout, cin).astype(np.float32)
+    variables = {"d/kernel": jnp.asarray(kernel)}
+
+    got = jax.jit(lambda v, x: layers.deconv2d(
+        Ctx(v), x, cout, 4, "d", strides=2, batch_normalization=False,
+        trainable=True))(variables, x)
+    want = jax.lax.conv_transpose(
+        x, jnp.asarray(kernel), (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
