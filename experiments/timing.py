@@ -231,9 +231,11 @@ def time_adapnet(_run, num_units=None, num_classes=None, repetitions=None,
 @ex.command
 def time_train_step(_run, num_units=None, num_classes=None,
                     repetitions=None, compute_dtype=None, batchsize=1,
-                    augment=False, height=HEIGHT, width=WIDTH):
-    """Full SimpleFCN train step (forward + backward + Adam + BN stats) on
-    constant frames; ``augment=True`` adds the on-device augmentation chain
+                    augment=False, height=HEIGHT, width=WIDTH,
+                    model="simple_fcn"):
+    """Full train step (forward + backward + Adam + BN stats) on constant
+    frames, ``model`` in {simple_fcn, adapnet};
+    ``augment=True`` adds the on-device augmentation chain
     (scale / crop-to-width / hflip / gamma, ops/device_augment.py). The
     reference has no training-throughput harness — its 60k-iteration runs
     were simply left running; this quantifies ours (docs/TIMING.md).
@@ -247,11 +249,13 @@ def time_train_step(_run, num_units=None, num_classes=None,
                     repetitions=repetitions, compute_dtype=compute_dtype))
     kwargs = _expert_config(cfg, "rgb")
     kwargs["batch_normalization"] = True
+    if model == "adapnet":
+        del kwargs["batch_normalization"]  # AdapNet always batch-normalizes
     if augment:
         kwargs["device_augmentation"] = dict(
             scale=(0.4, 0.7, 1.5), crop=(1.0, width), hflip=0.5,
             gamma=(0.4, 0.3, 1.2))
-    net = get_model("simple_fcn")(batchsize=batchsize, **kwargs)
+    net = get_model(model)(batchsize=batchsize, **kwargs)
     rng = np.random.RandomState(0)
     batch = {
         "rgb": jax.device_put(np.asarray(
@@ -265,10 +269,13 @@ def time_train_step(_run, num_units=None, num_classes=None,
                          jax.random.PRNGKey(0), iters=8,
                          repetitions=cfg["repetitions"])
     result = {"s_per_step": spf, "img_per_s": batchsize / spf,
-              "batchsize": batchsize, "augment": bool(augment)}
-    print(f"train step (batch {batchsize}, augment={bool(augment)}): "
+              "batchsize": batchsize, "augment": bool(augment),
+              "model": model}
+    print(f"{model} train step (batch {batchsize}, "
+          f"augment={bool(augment)}): "
           f"{spf:.4f} s/step, {batchsize / spf:.1f} img/s")
-    _record(_run, "train_step", result)
+    _record(_run, "train_step" if model == "simple_fcn"
+            else f"train_step_{model}", result)
 
 
 @ex.main

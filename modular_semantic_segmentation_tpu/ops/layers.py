@@ -144,26 +144,63 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
                 preferred_element_type=jnp.int32)
             out = acc.astype(jnp.float32) * (ascale * kscale)
         elif ctx.spatial_axis is not None and kh > 1:
-            # Height-sharded path (parallel/spatial.py): exchange
-            # dilation-wide row halos with the ring neighbours, then run
-            # the height dimension VALID — identical to the global SAME
-            # conv (edge shards receive zero halos = SAME zero padding).
+            # Height-sharded path (parallel/spatial.py): exchange row halos
+            # with the ring neighbours, then run the height dimension VALID
+            # — identical to the global SAME conv (edge shards receive zero
+            # halos = SAME zero padding). Supports strided convs (AdapNet's
+            # 7x7/s2 stem and downsampling blocks) as long as the stride
+            # divides the local block height, so output rows never straddle
+            # shard boundaries. When the dilated-kernel reach exceeds the
+            # local block (AdapNet's dilation-16 blocks at 1/16 resolution),
+            # single-hop ppermute halos can't reach far enough: fall back to
+            # a tiled all_gather of the (tiny, deep) feature map, compute
+            # the global SAME conv, and keep the local output rows.
             from modular_semantic_segmentation_tpu.parallel.spatial import \
                 halo_exchange_rows
-            if strides != (1, 1) or kh % 2 == 0:
+            sh, sw = strides
+            h_local, w_local = int(x.shape[1]), int(x.shape[2])
+            if h_local % sh:
                 raise NotImplementedError(
-                    "spatial sharding supports stride-1 odd conv kernels")
-            r = dilation[0] * (kh // 2)
-            top, bottom = halo_exchange_rows(x, ctx.spatial_axis, rows=r)
-            haloed = jnp.concatenate([top, x, bottom], axis=1)
-            pw = dilation[1] * (kw // 2)
-            out = jax.lax.conv_general_dilated(
-                haloed.astype(dtype), kernel.astype(dtype),
-                window_strides=strides,
-                padding=[(0, 0), (pw, pw)],
-                rhs_dilation=dilation,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=_accum_dtype(dtype))
+                    "spatial sharding needs stride | local block height")
+            kh_d = dilation[0] * (kh - 1) + 1
+            kw_d = dilation[1] * (kw - 1) + 1
+            # SAME pads over the GLOBAL height (stride divides it, so the
+            # total is kh_d - sh), TF/XLA split: extra pad on the trailing
+            # side for strided convs
+            pad_h = max(kh_d - sh, 0)
+            halo_top = pad_h // 2
+            halo_bottom = pad_h - halo_top
+            pad_w = max(kw_d - sw + (-w_local) % sw, 0)
+            pw_lo = pad_w // 2
+            r = max(halo_top, halo_bottom)
+            if r <= h_local:
+                top, bottom = halo_exchange_rows(x, ctx.spatial_axis,
+                                                 rows=max(r, 1))
+                haloed = jnp.concatenate(
+                    [top[:, top.shape[1] - halo_top:], x,
+                     bottom[:, :halo_bottom]], axis=1)
+                out = jax.lax.conv_general_dilated(
+                    haloed.astype(dtype), kernel.astype(dtype),
+                    window_strides=strides,
+                    padding=[(0, 0), (pw_lo, pad_w - pw_lo)],
+                    rhs_dilation=dilation,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=_accum_dtype(dtype))
+            else:
+                x_full = jax.lax.all_gather(x, ctx.spatial_axis, axis=1,
+                                            tiled=True)
+                out_full = jax.lax.conv_general_dilated(
+                    x_full.astype(dtype), kernel.astype(dtype),
+                    window_strides=strides,
+                    padding=[(halo_top, halo_bottom),
+                             (pw_lo, pad_w - pw_lo)],
+                    rhs_dilation=dilation,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=_accum_dtype(dtype))
+                out_local = h_local // sh
+                start = jax.lax.axis_index(ctx.spatial_axis) * out_local
+                out = jax.lax.dynamic_slice_in_dim(out_full, start,
+                                                   out_local, axis=1)
         elif (in_ch <= 4 and (kh, kw) == (3, 3) and strides == (1, 1)
               and dilation == (1, 1) and padding.upper() == "SAME"):
             # Thin-input fast path (conv1_1: 3 or 1 input channels).

@@ -146,6 +146,46 @@ def test_spatial_sharded_simple_fcn_matches_unsharded():
         spatial_sharded_forward(net, variables, x[:, :120], mesh, axis="sp")
 
 
+def test_spatial_sharded_adapnet_matches_unsharded():
+    """A WHOLE AdapNet forward height-sharded: exercises the strided-conv
+    halo path (7x7/s2 stem, downsampling blocks), the all_gather fallback
+    for dilation-16 blocks whose halo exceeds the local block, and the
+    dense trainable-deconv halo+trim path."""
+    from modular_semantic_segmentation_tpu.models.adapnet import adapnet
+    from modular_semantic_segmentation_tpu.ops.variables import (
+        Ctx, init_variables)
+    from modular_semantic_segmentation_tpu.parallel.spatial import \
+        spatial_sharded_forward
+
+    num_units, num_classes = 4, 5
+    rng = np.random.RandomState(0)
+    # 4 shards of 16 rows: the 1/16-resolution blocks have 1 local row, so
+    # every dilated block takes the all_gather fallback
+    x = jnp.asarray(rng.rand(1, 64, 32, 3), jnp.float32)
+
+    def net(ctx, inp):
+        return adapnet(ctx, inp, "rgb", num_units, num_classes)["score"]
+
+    variables, _ = init_variables(net, jax.random.PRNGKey(1), x)
+    for k in list(variables):
+        if k.endswith("moving_mean"):
+            variables[k] = jnp.asarray(rng.randn(*variables[k].shape) * 0.1)
+        if k.endswith("moving_variance"):
+            variables[k] = jnp.asarray(rng.rand(*variables[k].shape) + 0.5)
+        # the deconv kernels are TRAINABLE in AdapNet — randomize them so
+        # the dense (non-diagonal) spatial deconv path is what's tested
+        if "upconv/kernel" in k:
+            variables[k] = jnp.asarray(
+                rng.randn(*variables[k].shape).astype(np.float32) * 0.1)
+
+    expected = net(Ctx(variables, train=False), x)
+
+    mesh = make_mesh({"sp": 4, "rest": 2})
+    got = spatial_sharded_forward(net, variables, x, mesh, axis="sp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_data_parallel_training_converges():
     """Round-1 verdict item 10: DP training beyond one step — the loss
     decreases over 20 sharded steps and every variable stays fully
