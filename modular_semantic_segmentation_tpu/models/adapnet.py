@@ -137,7 +137,8 @@ class Adapnet(Estimator):
         # that only rescales the loss; Adam makes it near-irrelevant. We use
         # the correctly normalized loss.
         prob = ll.log_softmax(layers["score"])
-        return {"loss": cross_entropy(prob, batch["labels"])}
+        return {"loss": cross_entropy(prob, batch["labels"],
+                                      axis_name=ctx.spatial_axis)}
 
     def _test_outputs(self, ctx, batch):
         layers = adapnet(ctx, batch[self.config["modality"]], self.prefix,

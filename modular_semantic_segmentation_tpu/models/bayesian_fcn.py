@@ -63,7 +63,8 @@ class BayesianFCN(UncertaintyModel):
     def _train_outputs(self, ctx, batch):
         layers = self._sample_pipeline(ctx, batch[self.modality])
         log_prob = ll.log_softmax(layers["score"])
-        return {"loss": cross_entropy(log_prob, batch["labels"])}
+        return {"loss": cross_entropy(log_prob, batch["labels"],
+                                      axis_name=ctx.spatial_axis)}
 
     def _test_outputs(self, ctx, batch):
         temperature = self.config.get("temperature_scaling", 1.0)

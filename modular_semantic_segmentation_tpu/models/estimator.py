@@ -155,9 +155,14 @@ class Estimator:
                 out[modality] = value.astype(jnp.float32)
         return out
 
-    def _train_step(self, variables, opt_state, batch, rng):
+    def _train_step(self, variables, opt_state, batch, rng,
+                    spatial_axis=None):
         num_classes = self.config["num_classes"]
         if self.config.get("device_augmentation"):
+            if spatial_axis is not None:
+                raise NotImplementedError(
+                    "device_augmentation resamples across the height axis "
+                    "and cannot run under spatial partitioning")
             # augmentation runs on device INSIDE the jitted step (the host
             # pipeline was the reference's bottleneck, SURVEY.md §7); raw
             # [0, 255] frames in, same probability-gated op set
@@ -172,27 +177,40 @@ class Estimator:
 
         def loss_fn(tvars):
             ctx = Ctx({**frozen_vars, **tvars}, train=True, rng=rng,
-                      compute_dtype=self.compute_dtype)
+                      compute_dtype=self.compute_dtype,
+                      spatial_axis=spatial_axis)
             out = self._train_outputs(ctx, train_batch)
             return out["loss"], ctx.updates
 
         (loss, bn_updates), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(train_vars)
+        if spatial_axis is not None:
+            # Every shard differentiates its own copy of the (identical,
+            # psum-global) loss; the transpose of the loss psum replicates
+            # the cotangent to all shards, so each local grad is already
+            # N x (that shard's pixel contribution). pmean — not psum —
+            # therefore reconstructs the exact global gradient (verified
+            # against the unsharded step in tests/test_parallel.py), after
+            # which every shard applies an identical optimizer update.
+            grads = jax.lax.pmean(grads, spatial_axis)
         updates, opt_state = self._optimizer.update(grads, opt_state,
                                                     train_vars)
         train_vars = optax.apply_updates(train_vars, updates)
         new_vars = {**variables, **train_vars, **bn_updates}
         return new_vars, opt_state, loss
 
-    def _eval_step(self, variables, batch, rng):
+    def _eval_step(self, variables, batch, rng, spatial_axis=None):
         ctx = Ctx(variables, train=False, rng=rng,
                   compute_dtype=self.compute_dtype,
-                  act_scales=self.act_scales)
+                  act_scales=self.act_scales, spatial_axis=spatial_axis)
         out = self._test_outputs(ctx, self._preprocess(batch))
         if "labels" in batch:
             out["confusion_matrix"] = metrics_lib.confusion_matrix(
                 out["prediction"], batch["labels"],
                 self.config["num_classes"])
+            if spatial_axis is not None:
+                out["confusion_matrix"] = jax.lax.psum(
+                    out["confusion_matrix"], spatial_axis)
         return out
 
     def _next_rng(self):

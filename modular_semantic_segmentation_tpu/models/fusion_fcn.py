@@ -66,7 +66,8 @@ class FusionFCN(Estimator):
     def _train_outputs(self, ctx, batch):
         score = self._net(ctx, batch)["score"]
         log_prob = ll.log_softmax(score)
-        return {"loss": cross_entropy(log_prob, batch["labels"])}
+        return {"loss": cross_entropy(log_prob, batch["labels"],
+                                      axis_name=ctx.spatial_axis)}
 
     def _test_outputs(self, ctx, batch):
         score = self._net(ctx, batch)["score"]

@@ -85,7 +85,8 @@ class ProgressiveFCN(Estimator):
     def _train_outputs(self, ctx, batch):
         score = self._net(ctx, batch)["score"]
         return {"loss": cross_entropy(ll.log_softmax(score),
-                                      batch["labels"])}
+                                      batch["labels"],
+                                      axis_name=ctx.spatial_axis)}
 
     def _test_outputs(self, ctx, batch):
         score = self._net(ctx, batch)["score"]

@@ -144,7 +144,8 @@ class SimpleFCN(Estimator):
     def _train_outputs(self, ctx, batch):
         layers = self._fcn(ctx, batch[self.modality])
         prob = ll.log_softmax(layers["score"])
-        return {"loss": cross_entropy(prob, batch["labels"])}
+        return {"loss": cross_entropy(prob, batch["labels"],
+                                      axis_name=ctx.spatial_axis)}
 
     def _test_outputs(self, ctx, batch):
         layers = self._fcn(ctx, batch[self.modality])

@@ -68,12 +68,26 @@ def batch_norm(ctx, x, name, trainable=True):
         x32 = x.astype(jnp.float32)
         if ctx.train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x32, axis=axes)
-            # Biased variance via the two-pass form (tf.nn.moments): the
-            # E[x^2]-E[x]^2 shortcut cancels catastrophically for
-            # large-magnitude inputs (raw 0..255 images).
-            var = jnp.mean(
-                jnp.square(x32 - jax.lax.stop_gradient(mean)), axis=axes)
+            if ctx.spatial_axis is not None:
+                # Spatial-parallel training (parallel/spatial.py): batch
+                # statistics over the GLOBAL (N, H, W) — psum the per-shard
+                # sums so every shard normalizes identically (the TPU
+                # analogue of sync-BN; local-only stats would make the
+                # sharded and unsharded models diverge).
+                count = float(np.prod([x.shape[i] for i in axes])) \
+                    * jax.lax.axis_size(ctx.spatial_axis)
+                mean = jax.lax.psum(jnp.sum(x32, axis=axes),
+                                    ctx.spatial_axis) / count
+                var = jax.lax.psum(
+                    jnp.sum(jnp.square(x32 - jax.lax.stop_gradient(mean)),
+                            axis=axes), ctx.spatial_axis) / count
+            else:
+                mean = jnp.mean(x32, axis=axes)
+                # Biased variance via the two-pass form (tf.nn.moments): the
+                # E[x^2]-E[x]^2 shortcut cancels catastrophically for
+                # large-magnitude inputs (raw 0..255 images).
+                var = jnp.mean(
+                    jnp.square(x32 - jax.lax.stop_gradient(mean)), axis=axes)
             ctx.record_update(
                 "moving_mean",
                 BN_MOMENTUM * moving_mean + (1.0 - BN_MOMENTUM) * mean)

@@ -12,6 +12,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 
@@ -110,3 +111,68 @@ def spatial_sharded_forward(net_fn, variables, x, mesh, axis="data"):
         in_specs=(P(), P(None, axis, None, None)),
         out_specs=P(None, axis, None, None))
     return shard_fn(variables, x)
+
+
+def distribute_spatial(net, mesh, axis="sp"):
+    """Install height-sharded TRAIN and EVAL steps on an Estimator.
+
+    The full spatial-partitioning story (the SP row of SURVEY.md §2.10):
+    after this call ``net.fit`` / ``net.predict`` / ``net.score`` run each
+    frame sharded along the height axis of ``mesh`` — for frames too large
+    for one chip's HBM. All cross-shard communication is emitted inside the
+    one jitted step: row-halo ``ppermute`` for convs/deconvs (ops/layers.py
+    spatial paths), psum'd batch-norm statistics (the sync-BN analogue),
+    a psum'd void-masked loss, psum'd gradients (every shard then applies
+    an identical optimizer update, keeping variables replicated), and a
+    psum'd confusion matrix at eval. Matches the unsharded model to f32
+    reduction-order noise (tests/test_parallel.py).
+
+    Constraints: frame height divisible by (mesh size along axis) * 16;
+    ``device_augmentation`` and int8 serving fall back with an error /
+    to float respectively.
+    """
+    n_dev = mesh.shape[axis]
+
+    def _check(batch):
+        h = int(batch[next(iter(batch))].shape[1])
+        if h % (n_dev * 16):
+            raise ValueError(
+                f"height {h} not divisible by {n_dev} shards * 16")
+
+    def _batch_specs(batch):
+        # every modality is [N, H, ...] — shard axis 1; anything smaller
+        # (scalars/extra metadata) stays replicated
+        return {k: P(None, axis) if np.ndim(v) >= 3 else P()
+                for k, v in batch.items()}
+
+    def train_step(variables, opt_state, batch, rng):
+        _check(batch)
+        fn = jax.shard_map(
+            lambda v, o, b, r: net._train_step(v, o, b, r,
+                                               spatial_axis=axis),
+            mesh=mesh,
+            in_specs=(P(), P(), _batch_specs(batch), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+        return fn(variables, opt_state, batch, rng)
+
+    def eval_step(variables, batch, rng):
+        _check(batch)
+        out_shapes = jax.eval_shape(net._eval_step, variables, batch, rng)
+        out_specs = {k: P() if k == "confusion_matrix" or s.ndim < 3
+                     else P(None, axis) for k, s in out_shapes.items()}
+        fn = jax.shard_map(
+            lambda v, b, r: net._eval_step(v, b, r, spatial_axis=axis),
+            mesh=mesh,
+            in_specs=(P(), _batch_specs(batch), P()),
+            out_specs=out_specs,
+            check_vma=False)
+        return fn(variables, batch, rng)
+
+    def redistribute():
+        net._jit_train_step = jax.jit(train_step)
+        net._jit_eval_step = jax.jit(eval_step)
+
+    redistribute()
+    net._redistribute = redistribute
+    return net

@@ -146,6 +146,75 @@ def test_spatial_sharded_simple_fcn_matches_unsharded():
         spatial_sharded_forward(net, variables, x[:, :120], mesh, axis="sp")
 
 
+def test_distribute_spatial_training_matches_unsharded():
+    """Spatial-parallel TRAINING (distribute_spatial): a height-sharded
+    train step — halo convs, psum'd sync-BN statistics, psum'd masked
+    loss, psum'd gradients — produces the same updated variables as the
+    unsharded step, and the sharded score() matches exactly."""
+    from modular_semantic_segmentation_tpu.parallel.spatial import \
+        distribute_spatial
+
+    rng_np = np.random.RandomState(0)
+    h, w, num_classes = 128, 32, 5
+    description = ({"labels": np.int32, "rgb": np.float32},
+                   {"rgb": (None, None, 3), "labels": (None, None)},
+                   num_classes)
+    kwargs = dict(prefix="rgb", modality="rgb", num_units=4,
+                  data_description=description, batchsize=1,
+                  batch_normalization=True, dropout_rate=0.0, seed=7)
+    single = get_model("simple_fcn")(**kwargs)
+    sharded = get_model("simple_fcn")(**kwargs)
+    distribute_spatial(sharded, make_mesh({"sp": 8}), axis="sp")
+
+    # plain SGD instead of Adam: Adam's first step is lr*sign(grad), which
+    # amplifies f32 reduction-order noise on near-zero gradients (conv
+    # biases ahead of BN have ~0 gradient) into full-size update diffs;
+    # with SGD the updated variables compare raw (psum'd) gradients
+    import optax
+    from modular_semantic_segmentation_tpu.ops.variables import \
+        split_trainable
+    for net in (single, sharded):
+        net._optimizer = optax.sgd(1.0)
+        tvars, _ = split_trainable(net.variables, net.trainable)
+        net.opt_state = net._optimizer.init(tvars)
+    single._jit_train_step = jax.jit(single._train_step)
+    sharded._redistribute()
+
+    labels = rng_np.randint(-1, num_classes, (1, h, w)).astype(np.int32)
+    batch = {"rgb": np.asarray(rng_np.rand(1, h, w, 3) * 255, np.float32),
+             "labels": labels}
+    rng = jax.random.PRNGKey(11)
+
+    v1, o1, loss1 = single._jit_train_step(
+        single.variables, single.opt_state, batch, rng)
+    v2, o2, loss2 = sharded._jit_train_step(
+        sharded.variables, sharded.opt_state, batch, rng)
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+    for k in v1:
+        a, b = np.asarray(v1[k]), np.asarray(v2[k])
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
+                                   err_msg=k)
+
+    # eval: sharded confusion matrix == unsharded (psum'd, replicated out)
+    single.variables, sharded.variables = v1, v2
+    out1 = single._jit_eval_step(single.variables, batch,
+                                 jax.random.PRNGKey(3))
+    out2 = sharded._jit_eval_step(sharded.variables, batch,
+                                  jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(out1["confusion_matrix"]),
+                               np.asarray(out2["confusion_matrix"]))
+    agree = np.mean(np.asarray(out1["prediction"])
+                    == np.asarray(out2["prediction"]))
+    assert agree > 0.99  # argmax ties under reduction-order noise
+
+    # misaligned height is an explicit error
+    with pytest.raises(ValueError):
+        bad = {k: v[:, :120] for k, v in batch.items()}
+        sharded._jit_train_step(sharded.variables, sharded.opt_state, bad,
+                                rng)
+
+
 def test_spatial_sharded_adapnet_matches_unsharded():
     """A WHOLE AdapNet forward height-sharded: exercises the strided-conv
     halo path (7x7/s2 stem, downsampling blocks), the all_gather fallback
