@@ -92,6 +92,8 @@ def build_timing_table(experiment_id):
     rows = {}
     for name, result in timings.items():
         spf = result.get("pipelined_mean_s", result.get("sync_mean_s"))
+        if spf is None:
+            continue  # e.g. train_step records (s_per_step, not per-frame)
         row = {
             "s/frame": spf,
             "fps": 1.0 / spf,

@@ -130,6 +130,72 @@ def _dense_selection(k, s):
     return lo, hi, m
 
 
+@lru_cache(maxsize=None)
+def _pack_selection(k, s):
+    """Selection tensor for space-to-depth packing of a stride-s conv.
+
+    A SAME stride-s conv (s | H) pads (k-s)//2 leading; output row i, tap u
+    reads input row s*i + u - pad_lo = s*(i + t) + d with u = s*t + d +
+    pad_lo, i.e. packed-phase d at packed tap offset t. Returns
+    (taps, pad_lo_p, pad_hi_p, M) with M[t, d, u] = 1 for valid triples;
+    the packed conv runs VALID over an input padded by (pad_lo_p, pad_hi_p).
+    """
+    pad_lo = (k - s) // 2
+    t_min = -(-(-(s - 1) - pad_lo) // s)   # ceil((-(s-1) - pad_lo) / s)
+    t_max = (k - 1 - pad_lo) // s
+    taps = t_max - t_min + 1
+    m = np.zeros((taps, s, k), np.float32)
+    for t in range(t_min, t_max + 1):
+        for d in range(s):
+            u = s * t + d + pad_lo
+            if 0 <= u < k:
+                m[t - t_min, d, u] = 1.0
+    return taps, -t_min, t_max, m
+
+
+def strided_conv_packed(x, kernel, stride, accum_dtype=jnp.float32):
+    """SAME stride-s conv as a space-to-depth packed stride-1 conv.
+
+    The TRAINING-path formulation for strided convs (AdapNet's 7x7/s2
+    stem): the direct lowering's forward is fine (~0.42 ms at 768x384x64
+    on a v5e) but its VJPs are not — the input gradient is an lhs-dilated
+    transposed conv (3.9 ms) and the kernel gradient a huge-window conv
+    (1.9 ms), 18.6x the forward combined. Packing input parity phases into
+    channels turns forward AND both backward ops into dense stride-1 convs
+    (the pack/unpack transposes are bandwidth-bound reshapes, and the
+    kernel repack is a tiny einsum that differentiates back to the stored
+    [k, k, ci, co] npz layout). Exact up to f32 summation order; only the
+    k -> s*ceil(k/s) zero-tap inflation (64/49 for 7/2) is paid.
+
+    Requires s | H and s | W (the reference's 16-multiple crop guarantees
+    it). Forward-only serving keeps the direct conv: the packed forward
+    alone measured 0.82 vs 0.66 ms (scripts/stem_pack_probe.py) — the win
+    is in the gradients.
+    """
+    k = int(kernel.shape[0])
+    s = int(stride)
+    n, h, w, cin = x.shape
+    cout = int(kernel.shape[3])
+    assert h % s == 0 and w % s == 0, "packed path needs s | H and s | W"
+    taps, plo, phi, m = _pack_selection(k, s)
+    mj = jnp.asarray(m)
+
+    kern = kernel.astype(jnp.float32)
+    # PK[ty, tx, (dy, dx, ci), co]: packed tap (ty, tx), phase (dy, dx)
+    pk = jnp.einsum("adu,bev,uvio->abdeio", mj, mj, kern)
+    pk = pk.reshape(taps, taps, s * s * cin, cout).astype(x.dtype)
+
+    # space-to-depth: [N, H, W, C] -> [N, H/s, W/s, s*s*C], (dy, dx, c)
+    xp = x.reshape(n, h // s, s, w // s, s, cin)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // s, w // s,
+                                                s * s * cin)
+    xp = jnp.pad(xp, ((0, 0), (plo, phi), (plo, phi), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        xp, pk, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype)
+
+
 def dense_phase_upsample(x, kernel, stride, accum_dtype=jnp.float32):
     """Transposed-conv upsampling for DENSE (e.g. trainable) kernels.
 

@@ -233,6 +233,23 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
             kk = kernel.astype(dtype).reshape(9 * in_ch, int(filters))
             out = jnp.einsum("nhwp,pf->nhwf", patches, kk,
                              preferred_element_type=_accum_dtype(dtype))
+        elif (ctx.train and strides[0] == strides[1] and strides[0] > 1
+              and kh == kw and kh > 1 and dilation == (1, 1)
+              and padding.upper() == "SAME"
+              and int(x.shape[1]) % strides[0] == 0
+              and int(x.shape[2]) % strides[0] == 0
+              and in_ch * strides[0] ** 2 >= 128):
+            # Training-path strided conv via space-to-depth packing
+            # (ops/fast_upsample.strided_conv_packed): the direct lowering's
+            # VJPs are pathological on TPU (AdapNet's 7x7/s2 stem: input
+            # grad 3.9 ms + kernel grad 1.9 ms vs 0.42 ms forward at
+            # 768x384); packed, forward and both gradients are dense
+            # stride-1 convs. Eval keeps the direct conv (faster forward).
+            from modular_semantic_segmentation_tpu.ops.fast_upsample import \
+                strided_conv_packed
+            out = strided_conv_packed(x.astype(dtype), kernel.astype(dtype),
+                                      strides[0],
+                                      accum_dtype=_accum_dtype(dtype))
         else:
             out = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel.astype(dtype),

@@ -138,8 +138,15 @@ def device_time_fn(fn, *args, iters=50, repetitions=5, n2=None):
                         return x + z.astype(jnp.int32).astype(x.dtype)
                     return x
                 out = fn(*jax.tree_util.tree_map(perturb, a))
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+                # feed EVERY output leaf into the carry: chaining only one
+                # leaf lets XLA dead-code-eliminate the rest of the program
+                # (observed: grad pytrees timed as ~0 because only one
+                # gradient array stayed live)
+                leaves = jax.tree_util.tree_leaves(out)
+                total = jnp.float32(0.0)
+                for leaf in leaves:
+                    total = total + jnp.sum(leaf.astype(jnp.float32))
+                return total * 1e-30
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         return run
 
