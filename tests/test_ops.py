@@ -70,6 +70,37 @@ def test_unpool_roundtrip():
     np.testing.assert_allclose(np.asarray(repooled), np.asarray(pooled))
 
 
+def test_max_pool_gradient_matches_reduce_window():
+    """The mask-based custom pool gradient (non-overlapping fast path)
+    equals the reduce_window/SelectAndScatter gradient — including the
+    first-match tie rule (duplicated maxima within a window)."""
+    rng = np.random.RandomState(9)
+    # quantized values force plenty of within-window ties
+    x = jnp.asarray(
+        np.round(rng.rand(2, 8, 12, 3) * 4).astype(np.float32))
+    ct = jnp.asarray(rng.randn(2, 4, 6, 3).astype(np.float32))
+
+    def fast(x):
+        return jnp.sum(layers.max_pool2d(Ctx({}), x, 2, 2,
+                                         custom_grad=True) * ct)
+
+    def reference(x):
+        out = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
+            window_strides=(1, 2, 2, 1), padding="VALID")
+        return jnp.sum(out * ct)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(fast)(x)),
+                               np.asarray(jax.grad(reference)(x)),
+                               rtol=1e-6, atol=1e-6)
+    # odd shapes fall back to the reduce_window path (trailing row/col
+    # dropped by VALID) and still differentiate
+    x_odd = jnp.asarray(rng.rand(1, 7, 9, 2).astype(np.float32))
+    g = jax.grad(lambda x: jnp.sum(
+        layers.max_pool2d(Ctx({}), x, 2, 2)))(x_odd)
+    assert g.shape == x_odd.shape
+
+
 def test_cross_entropy_void_masking():
     rng = np.random.RandomState(4)
     logp = sp_log_softmax(rng.randn(2, 4, 4, 3).astype(np.float32), axis=-1)
