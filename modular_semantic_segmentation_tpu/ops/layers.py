@@ -101,6 +101,78 @@ def batch_norm(ctx, x, name, trainable=True):
     return out.astype(x.dtype)
 
 
+def _conv_same(x, kernel, dilation):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME", rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+
+
+from functools import partial as _vjp_partial  # noqa: E402
+
+
+@_vjp_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_taps_grad(x, kernel, dilation):
+    """Stride-1 SAME conv with a matmul-decomposed kernel gradient.
+
+    XLA's kernel-gradient lowering for batch-1 stride-1 convs (a conv
+    whose spatial extent becomes the contraction) runs far below the HBM
+    bound on TPU — 1.53 ms for conv1_2's 768x384x64->64 kernel grad vs a
+    ~0.15 ms traffic floor (scripts/conv_kernel_grad_probe.py). Computing
+    it instead as kh*kw shifted-slice contractions
+    ``G[dy,dx] = x_shift(dy,dx)[pixels, Cin].T @ ct[pixels, Cout]``
+    keeps every read a fused slice of the padded input and runs each tap
+    on the MXU: 4.0x/4.3x/2.3x faster at the 64/128/256-channel VGG
+    stages and 3.0x for the dilated AdapNet blocks (it loses only at
+    96x48x512, where conv2d keeps XLA's VJP — see the gate there).
+    Accumulation is full float32 (the einsum's preferred_element_type),
+    unlike XLA's bf16-output conv VJP which rounds partial sums between
+    K-tiles — locked by tests/test_ops.py::test_conv_taps_gradients.
+    """
+    return _conv_same(x, kernel, dilation)
+
+
+def _conv_taps_grad_fwd(x, kernel, dilation):
+    return _conv_same(x, kernel, dilation), (x, kernel)
+
+
+def _conv_taps_grad_bwd(dilation, res, ct):
+    x, kernel = res
+    kh, kw, cin, cout = kernel.shape
+    n, h, w, _ = x.shape
+    dh, dw = dilation
+    # input grad: mirrored conv (spatial flip + I/O swap); SAME padding of
+    # an odd dilated kernel is symmetric, so the transpose is again SAME
+    dx = _conv_same(ct, jnp.flip(kernel, (0, 1)).swapaxes(2, 3), dilation)
+    # kernel grad: per-tap shifted-slice contractions
+    ph, pw = dh * (kh // 2), dw * (kw // 2)
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    ctf = ct.reshape(n * h * w, cout)
+    rows = []
+    for ty in range(kh):
+        cols = []
+        for tx in range(kw):
+            tap = xp[:, ty * dh:ty * dh + h,
+                     tx * dw:tx * dw + w, :].reshape(n * h * w, cin)
+            cols.append(jnp.einsum("pi,pc->ic", tap, ctf,
+                                   preferred_element_type=jnp.float32))
+        rows.append(jnp.stack(cols, 0))
+    dk = jnp.stack(rows, 0).astype(kernel.dtype)
+    return (dx.astype(x.dtype), dk)
+
+
+_conv_taps_grad.defvjp(_conv_taps_grad_fwd, _conv_taps_grad_bwd)
+
+
+# Channel gate for the taps kernel gradient in conv2d: XLA's own conv VJP
+# catches up at 512 channels / small spatial (0.81x isolated at 96x48x512),
+# and the in-context train-step sweep measured max_ch 64/128/256 at
+# 12.8/12.7/12.9 ms — 128 keeps XLA's VJP for the 256-channel stage where
+# its fusion wins back the isolated 2.3x. Dilated convs use taps at any
+# width (3x win at dil 16).
+TAPS_GRAD_MAX_CH = 128
+
+
 def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
            activation=jax.nn.relu, use_bias=True, trainable=True,
            batch_normalization=False, kernel_initializer=None, padding="same"):
@@ -250,6 +322,18 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
             out = strided_conv_packed(x.astype(dtype), kernel.astype(dtype),
                                       strides[0],
                                       accum_dtype=_accum_dtype(dtype))
+        elif (ctx.train and strides == (1, 1) and kh == kw and kh > 1
+              and kh % 2 == 1 and padding.upper() == "SAME"
+              and jnp.issubdtype(dtype, jnp.floating)
+              and (in_ch <= TAPS_GRAD_MAX_CH or dilation[0] > 1)):
+            # Training-path stride-1 conv with the matmul-decomposed kernel
+            # gradient (_conv_taps_grad above): 2.3-4.3x faster kernel
+            # grads at the <=256-channel stages and 3x for dilated blocks;
+            # at 96x48x512/dil-1 XLA's own VJP is already faster, hence the
+            # channel gate (scripts/conv_kernel_grad_probe.py). Eval mode
+            # needs no gradients and keeps the plain lowering.
+            out = _conv_taps_grad(x.astype(dtype), kernel.astype(dtype),
+                                  dilation)
         else:
             out = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel.astype(dtype),

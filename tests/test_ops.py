@@ -70,6 +70,55 @@ def test_unpool_roundtrip():
     np.testing.assert_allclose(np.asarray(repooled), np.asarray(pooled))
 
 
+def test_conv_taps_gradients():
+    """The matmul-decomposed conv VJP (_conv_taps_grad: mirrored-conv
+    input grad + per-tap shifted-slice kernel grad) matches XLA's own
+    conv VJP — stride 1, SAME, odd kernels, with and without dilation."""
+    rng = np.random.RandomState(11)
+    for k, dil in [(3, (1, 1)), (3, (2, 2)), (5, (1, 1)), (3, (4, 4))]:
+        x = jnp.asarray(rng.randn(2, 12, 16, 6).astype(np.float32))
+        kernel = jnp.asarray(rng.randn(k, k, 6, 5).astype(np.float32))
+        ct = jnp.asarray(rng.randn(2, 12, 16, 5).astype(np.float32))
+
+        def ref_loss(x, kernel):
+            return jnp.sum(layers._conv_same(x, kernel, dil) * ct)
+
+        def taps_loss(x, kernel):
+            return jnp.sum(layers._conv_taps_grad(x, kernel, dil) * ct)
+
+        np.testing.assert_allclose(
+            np.asarray(layers._conv_taps_grad(x, kernel, dil)),
+            np.asarray(layers._conv_same(x, kernel, dil)), rtol=1e-6)
+        ref_gx, ref_gk = jax.grad(ref_loss, argnums=(0, 1))(x, kernel)
+        got_gx, got_gk = jax.grad(taps_loss, argnums=(0, 1))(x, kernel)
+        np.testing.assert_allclose(np.asarray(got_gx), np.asarray(ref_gx),
+                                   rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_gk), np.asarray(ref_gk),
+                                   rtol=2e-4, atol=1e-4)
+
+
+def test_conv2d_train_gradient_routes_through_taps():
+    """conv2d in train mode (stride 1, SAME, <=256 ch) produces gradients
+    equal to the plain-XLA formulation used in eval tracing."""
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, 10, 12, 8).astype(np.float32))
+    var_ctx = Ctx({}, train=True, rng=jax.random.PRNGKey(0), init=True)
+    layers.conv2d(var_ctx, x, 7, 3, "c", activation=None)
+    variables = dict(var_ctx.created)
+
+    def loss(variables, train):
+        ctx = Ctx(variables, train=train, rng=jax.random.PRNGKey(1))
+        return jnp.sum(layers.conv2d(ctx, x, 7, 3, "c", activation=None)
+                       ** 2)
+
+    g_train = jax.grad(lambda v: loss(v, True))(variables)
+    g_plain = jax.grad(lambda v: loss(v, False))(variables)
+    for name in g_train:
+        np.testing.assert_allclose(np.asarray(g_train[name]),
+                                   np.asarray(g_plain[name]),
+                                   rtol=2e-4, atol=1e-4, err_msg=name)
+
+
 def test_max_pool_gradient_matches_reduce_window():
     """The mask-based custom pool gradient (non-overlapping fast path)
     equals the reduce_window/SelectAndScatter gradient — including the
