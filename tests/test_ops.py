@@ -119,6 +119,24 @@ def test_conv2d_train_gradient_routes_through_taps():
                                    rtol=2e-4, atol=1e-4, err_msg=name)
 
 
+def test_conv2d_1x1_matmul_path_matches_conv():
+    """Large-spatial 1x1 convs route through the [pixels, Cin] @ [Cin,
+    Cout] matmul (the class-score conv fast path); output must equal the
+    direct conv lowering."""
+    rng = np.random.RandomState(13)
+    # 260*130 = 33800 pixels >= the 32768-pixel gate
+    x = jnp.asarray(rng.randn(1, 260, 130, 6).astype(np.float32))
+    var_ctx = Ctx({}, init=True, rng=jax.random.PRNGKey(0))
+    out = layers.conv2d(var_ctx, x, 5, 1, "s", activation=None,
+                        use_bias=False)
+    kernel = var_ctx.created["s/kernel"]
+    ref = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_max_pool_gradient_matches_reduce_window():
     """The mask-based custom pool gradient (non-overlapping fast path)
     equals the reduce_window/SelectAndScatter gradient — including the
