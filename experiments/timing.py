@@ -232,7 +232,7 @@ def time_adapnet(_run, num_units=None, num_classes=None, repetitions=None,
 def time_train_step(_run, num_units=None, num_classes=None,
                     repetitions=None, compute_dtype=None, batchsize=1,
                     augment=False, height=HEIGHT, width=WIDTH,
-                    model="simple_fcn"):
+                    model="simple_fcn", microbatch=0):
     """Full train step (forward + backward + Adam + BN stats) on constant
     frames, ``model`` in {simple_fcn, adapnet};
     ``augment=True`` adds the on-device augmentation chain
@@ -255,6 +255,10 @@ def time_train_step(_run, num_units=None, num_classes=None,
         kwargs["device_augmentation"] = dict(
             scale=(0.4, 0.7, 1.5), crop=(1.0, width), hflip=0.5,
             gamma=(0.4, 0.3, 1.2))
+    if microbatch:
+        # gradient accumulation over unrolled microbatch programs
+        # (estimator.py _train_step; ghost-BN statistics)
+        kwargs["microbatch_size"] = int(microbatch)
     net = get_model(model)(batchsize=batchsize, **kwargs)
     rng = np.random.RandomState(0)
     batch = {
@@ -270,7 +274,7 @@ def time_train_step(_run, num_units=None, num_classes=None,
                          repetitions=cfg["repetitions"])
     result = {"s_per_step": spf, "img_per_s": batchsize / spf,
               "batchsize": batchsize, "augment": bool(augment),
-              "model": model}
+              "model": model, "microbatch": int(microbatch)}
     print(f"{model} train step (batch {batchsize}, "
           f"augment={bool(augment)}): "
           f"{spf:.4f} s/step, {batchsize / spf:.1f} img/s")

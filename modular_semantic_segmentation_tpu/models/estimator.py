@@ -155,8 +155,10 @@ class Estimator:
                 out[modality] = value.astype(jnp.float32)
         return out
 
-    def _train_step(self, variables, opt_state, batch, rng,
-                    spatial_axis=None):
+    def _microbatch_grads(self, variables, batch, rng, spatial_axis):
+        """Loss, valid-pixel weight, BN updates and gradients for one
+        (micro)batch — the body shared by the plain and the
+        gradient-accumulation paths of :meth:`_train_step`."""
         num_classes = self.config["num_classes"]
         if self.config.get("device_augmentation"):
             if spatial_axis is not None:
@@ -184,6 +186,51 @@ class Estimator:
 
         (loss, bn_updates), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(train_vars)
+        weight = jnp.sum(train_batch["labels"])  # non-void pixel count
+        return loss, weight, bn_updates, grads
+
+    def _train_step(self, variables, opt_state, batch, rng,
+                    spatial_axis=None):
+        micro = int(self.config.get("microbatch_size") or 0)
+        batchsize = int(next(iter(batch.values())).shape[0])
+        if micro and spatial_axis is None and batchsize > micro \
+                and batchsize % micro == 0:
+            # Gradient accumulation over statically-unrolled microbatches:
+            # XLA's spatial tiling degrades at batch >1 for these
+            # full-frame shapes (batch-4 step 54.9 ms vs 4x11.0 unrolled,
+            # docs/TIMING.md), so each microbatch runs the efficient
+            # batch-`micro` program and one optimizer step consumes the
+            # pixel-weighted mean. The masked CE is a valid-pixel mean, so
+            # weighting each microbatch gradient by its non-void pixel
+            # count reconstructs the full-batch gradient exactly —
+            # EXCEPT batch-norm batch statistics, which become
+            # per-microbatch ("ghost batch norm"); moving stats update
+            # with the microbatch mean. Opt-in via microbatch_size.
+            num, den = None, 0.0
+            loss_sum = 0.0
+            bn_acc = {}
+            for i in range(batchsize // micro):
+                rng, sub = jax.random.split(rng)
+                sl = {k: v[i * micro:(i + 1) * micro]
+                      for k, v in batch.items()}
+                loss_i, w, bn_i, g_i = self._microbatch_grads(
+                    variables, sl, sub, None)
+                weighted = jax.tree.map(lambda a: a * w, g_i)
+                num = weighted if num is None else jax.tree.map(
+                    lambda a, b: a + b, num, weighted)
+                den = den + w
+                loss_sum = loss_sum + loss_i * w
+                for k, v in bn_i.items():
+                    bn_acc.setdefault(k, []).append(v)
+            scale = 1.0 / jnp.maximum(den, 1e-20)
+            grads = jax.tree.map(lambda a: a * scale, num)
+            loss = loss_sum * scale
+            bn_updates = {k: sum(vs) / len(vs) for k, vs in bn_acc.items()}
+            train_vars, _ = split_trainable(variables, self.trainable)
+        else:
+            loss, _, bn_updates, grads = self._microbatch_grads(
+                variables, batch, rng, spatial_axis)
+            train_vars, _ = split_trainable(variables, self.trainable)
         if spatial_axis is not None:
             # Every shard differentiates its own copy of the (identical,
             # psum-global) loss; the transpose of the loss psum replicates
