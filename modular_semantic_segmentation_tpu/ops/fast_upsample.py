@@ -190,6 +190,12 @@ def strided_conv_packed(x, kernel, stride, accum_dtype=jnp.float32):
     xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // s, w // s,
                                                 s * s * cin)
     xp = jnp.pad(xp, ((0, 0), (plo, phi), (plo, phi), (0, 0)))
+    # NOTE: wrapping this conv in a taps-kernel-grad custom_vjp (the
+    # ops/layers._conv_taps_grad formulation) was measured and REJECTED:
+    # the isolated kernel grad wins 3.2x (1.01 -> 0.32 ms) but the full
+    # AdapNet train step REGRESSES 13.0 -> 13.8 ms — the custom_vjp
+    # boundary pins the padded space-to-depth buffer as a residual and
+    # blocks the pack/pad fusion into the backward chain (docs/TIMING.md).
     return jax.lax.conv_general_dilated(
         xp, pk, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
