@@ -39,13 +39,21 @@ def _data_description(num_classes=NUM_CLASSES):
 # --------------------------------------------------------------------------
 
 class _TfOracle:
-    def __init__(self, seed):
+    def __init__(self, seed, train=False, tensors=None):
         self.rng = np.random.RandomState(seed)
         self.weights = {}
         self._scope = []
+        # train=True: BN normalizes with batch statistics (TF layers
+        # training=True semantics). tensors: name -> tf.Tensor overrides,
+        # used by the train-step golden test to rebuild the forward over
+        # GradientTape-watched tensors.
+        self.train = train
+        self.tensors = tensors
 
     def _var(self, name, shape, kind):
         full = "/".join(self._scope + [name])
+        if self.tensors is not None and full in self.tensors:
+            return self.tensors[full]
         if full not in self.weights:
             if kind == "bilinear":
                 value = bilinear_filter(shape)
@@ -80,6 +88,8 @@ class _TfOracle:
         var = self._var(f"{name}/moving_variance", (c,), "moving_variance")
         beta = self._var(f"{name}/beta", (c,), "normal")
         gamma = self._var(f"{name}/gamma", (c,), "gamma")
+        if self.train:
+            mean, var = tf.nn.moments(x, axes=[0, 1, 2])
         return tf.nn.batch_normalization(x, mean, var, beta, gamma, 1e-3)
 
     def conv(self, x, filters, ksize, name, activation=tf.nn.relu, bn=True,
@@ -193,6 +203,67 @@ def test_simple_fcn_network_golden_parity(tmp_path):
     decisive = (margin[..., -1] - margin[..., -2]) > 1e-3
     theirs_cls = expected["prob"].argmax(-1)
     assert (ours_cls == theirs_cls)[decisive].all()
+
+
+def test_simple_fcn_train_step_golden_parity(tmp_path):
+    """Training-step golden parity: the loss and EVERY trainable-variable
+    gradient of one SimpleFCN train step match a TF1 GradientTape oracle
+    built from raw tf.nn ops (train-mode BN with batch statistics, masked
+    cross-entropy with void pixels, frozen bilinear deconvs). Locks the
+    reference's training semantics (xview/models/base_model.py:153-162 +
+    utils.py:43-53) end-to-end, on top of the forward-only golden tests."""
+    import jax
+    from modular_semantic_segmentation_tpu.models import get_model
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 32, 48, 3).astype(np.float32) * 4 - 2
+    # labels include void pixels (-1 -> all-zero one-hot row, masked out
+    # of numerator and denominator — reference utils.py:43-53)
+    labels = rng.randint(-1, NUM_CLASSES, (2, 32, 48)).astype(np.int32)
+
+    # pass 1 creates the weight dict (eval build)
+    weights, _ = _run_tf_oracle(
+        lambda o, t: _tf_simple_fcn(o, t, "rgb", NUM_UNITS, NUM_CLASSES),
+        x, seed=9)
+
+    # TF oracle gradients: rebuild the forward in train mode over watched
+    # tensors of the same weights
+    tensors = {k: tf.constant(v) for k, v in weights.items()}
+    with tf.GradientTape() as tape:
+        for t in tensors.values():
+            tape.watch(t)
+        o = _TfOracle(seed=9, train=True, tensors=tensors)
+        l = _tf_simple_fcn(o, tf.constant(x), "rgb", NUM_UNITS, NUM_CLASSES)
+        onehot = tf.one_hot(labels, NUM_CLASSES)
+        logp = tf.nn.log_softmax(l["score"])
+        tf_loss = (-tf.reduce_sum(onehot * logp)
+                   / (1e-20 + tf.reduce_sum(onehot)))
+    names = list(tensors)
+    tf_grads = dict(zip(names, tape.gradient(
+        tf_loss, [tensors[n] for n in names])))
+
+    net = get_model("simple_fcn")(
+        prefix="rgb", data_description=_data_description(), modality="rgb",
+        num_units=NUM_UNITS, batchsize=2)
+    _import_into(net, weights, tmp_path)
+    loss, _, bn_updates, grads = net._microbatch_grads(
+        net.variables, {"rgb": x, "labels": labels},
+        jax.random.PRNGKey(0), None)
+
+    np.testing.assert_allclose(float(loss), float(tf_loss), rtol=1e-4)
+    assert grads, "no trainable gradients produced"
+    for name, g in grads.items():
+        tg = tf_grads.get(name)
+        assert tg is not None, f"TF oracle has no gradient for {name}"
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(tg), rtol=2e-3, atol=2e-4,
+            err_msg=f"gradient of {name} drifted from the TF1 oracle")
+    # frozen bilinear deconv kernels must NOT be trained
+    assert "rgb/upscore/kernel" not in grads
+    assert "rgb/upscore_conv5/kernel" not in grads
+    # train-mode BN recorded moving-stat updates
+    assert any(k.endswith("moving_mean") for k in bn_updates)
+    net.close()
 
 
 def _tf_adapnet(o, x, prefix, num_units, num_classes):
