@@ -60,6 +60,48 @@ def train_and_evaluate(net, output_dir, data, num_iterations,
     _run.info["measurements"] = measurements
 
 
+@ex.command
+def resume(experiment_id, _run, num_iterations=None):
+    """Resume an interrupted training run from its periodic checkpoint.
+
+    Usage::
+
+        python -m experiments.training resume with experiment_id=12
+
+    Loads the recorded config of run ``experiment_id``, restores its
+    latest ``checkpoint.pkl`` artifact (weights + optimizer state +
+    step — written every ``net_config.checkpoint_interval`` steps), and
+    continues training for the remaining iterations in a NEW run
+    directory; the original record stays immutable. Completes the
+    failure-recovery loop the reference lacks entirely (SURVEY.md §5:
+    its only recovery is KeyboardInterrupt -> save weights,
+    reference training.py:63-68). ``num_iterations`` optionally
+    overrides the original target step count.
+    """
+    from experiments.utils import ExperimentData
+
+    old = ExperimentData(experiment_id)
+    record = old.get_record()
+    cfg = record["config"]
+    total = int(num_iterations or cfg["num_iterations"])
+    checkpoint = old.get_artifact("checkpoint.pkl")
+
+    output_dir = create_directories(_run._id, ex)
+    data_cls = get_dataset(cfg["dataset"]["name"])
+    model = get_model(cfg["modelname"])
+    with model(data_description=data_cls.get_data_description(),
+               output_dir=output_dir, **cfg["net_config"]) as net:
+        data = data_cls(**{k: v for k, v in cfg["dataset"].items()
+                           if k != "name"})
+        net.load_weights(checkpoint)
+        remaining = max(total - net.global_step, 0)
+        print(f"INFO: resuming run {experiment_id} at step "
+              f"{net.global_step}; {remaining} iterations remaining")
+        train_and_evaluate(net, output_dir, data,
+                           num_iterations=remaining,
+                           starting_weights=None)
+
+
 @ex.main
 def main(modelname, dataset, net_config, _run):
     output_dir = create_directories(_run._id, ex)

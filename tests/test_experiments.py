@@ -97,6 +97,39 @@ def test_evaluation_cli_quantized_serving(storage, training_run):
     assert "total accuracy" in result.stdout
 
 
+def test_training_resume_cli(storage, training_run):
+    """Interrupted-run recovery: train with periodic checkpoints, then
+    `training resume with experiment_id=N` continues from the stored
+    step/optimizer state in a NEW run (failure-recovery loop the
+    reference lacks, SURVEY.md §5)."""
+    store = storage["EXPERIMENT_STORAGE_FOLDER"]
+    before = {d for d in os.listdir(store) if d.isdigit()}
+    _run_cli("experiments.training",
+             ["with"] + TINY_DATASET.split() + [
+                 "modelname=simple_fcn", "num_iterations=2",
+                 "starting_weights=false",
+                 "net_config.prefix=rgb", "net_config.modality=rgb",
+                 "net_config.num_units=4", "net_config.batchsize=2",
+                 "net_config.learning_rate=0.01",
+                 "net_config.checkpoint_interval=1"],
+             storage)
+    ckpt_run = max(int(d) for d in os.listdir(store)
+                   if d.isdigit() and d not in before)
+    assert "checkpoint.pkl" in os.listdir(os.path.join(store, str(ckpt_run)))
+
+    result = _run_cli("experiments.training",
+                      ["resume", "with", f"experiment_id={ckpt_run}",
+                       "num_iterations=4"], storage)
+    assert f"resuming run {ckpt_run} at step 2" in result.stdout
+    assert "2 iterations remaining" in result.stdout
+    resumed = max(int(d) for d in os.listdir(store) if d.isdigit())
+    assert resumed > ckpt_run
+    files = os.listdir(os.path.join(store, str(resumed)))
+    assert any("weights" in f for f in files)
+    record = json.load(open(os.path.join(store, str(resumed), "run.json")))
+    assert record["status"] == "COMPLETED"
+
+
 def test_bayes_fusion_cli(storage, training_run):
     """fit_and_evaluate: expert scoring -> confusion matrices -> fusion."""
     # train a depth expert (rgb expert = the fixture's run)
