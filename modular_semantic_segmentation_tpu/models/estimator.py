@@ -209,10 +209,17 @@ class Estimator:
             num, den = None, 0.0
             loss_sum = 0.0
             bn_acc = {}
-            for i in range(batchsize // micro):
+            steps = batchsize // micro
+            for i in range(steps):
                 rng, sub = jax.random.split(rng)
-                sl = {k: v[i * micro:(i + 1) * micro]
-                      for k, v in batch.items()}
+                # STRIDED partition (i::steps), not contiguous blocks:
+                # under data-parallel sharding the batch axis is split
+                # across devices, and a strided slice keeps every
+                # microbatch balanced over the mesh (a contiguous block
+                # would live on a subset of devices and serialize them).
+                # Any partition is an equally valid grouping — the
+                # pixel-weighted accumulation below is partition-exact.
+                sl = {k: v[i::steps] for k, v in batch.items()}
                 loss_i, w, bn_i, g_i = self._microbatch_grads(
                     variables, sl, sub, None)
                 weighted = jax.tree.map(lambda a: a * w, g_i)

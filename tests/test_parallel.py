@@ -255,6 +255,43 @@ def test_spatial_sharded_adapnet_matches_unsharded():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_data_parallel_microbatch_matches_full_batch():
+    """Microbatch gradient accumulation (config microbatch_size) composes
+    with data-parallel sharding: the strided i::steps partition keeps
+    every microbatch balanced across the mesh, and the result equals the
+    plain full-batch single-device step (BN off, SGD probe — same
+    discipline as test_microbatch_gradient_accumulation_matches_full_batch)."""
+    import optax
+    from modular_semantic_segmentation_tpu.ops.variables import \
+        split_trainable
+
+    data = get_dataset("unittest")(height=32, width=32, num_train=8,
+                                   num_measure=2, num_test=2)
+    kwargs = dict(prefix="rgb", modality="rgb", num_units=4,
+                  data_description=data.get_data_description(), batchsize=8,
+                  learning_rate=0.01, seed=3, batch_normalization=False)
+    plain = get_model("simple_fcn")(**kwargs)
+    micro = get_model("simple_fcn")(microbatch_size=4, **kwargs)
+    for net in (plain, micro):
+        net._optimizer = optax.sgd(1.0)
+        tv, _ = split_trainable(net.variables, net.trainable)
+        net.opt_state = net._optimizer.init(tv)
+    # 2-wide data axis (the unused axis stays replicated): each strided
+    # microbatch of 4 frames shards 2-per-device
+    distribute(micro, make_mesh({"data": 2, "unused": 4}))
+    batch = next(data.get_trainset().batches(8, shuffle=True, seed=0))
+    rng = jax.random.PRNGKey(7)
+
+    pv, _, ploss = plain._train_step(plain.variables, plain.opt_state,
+                                     batch, rng)
+    mv, _, mloss = micro._jit_train_step(micro.variables, micro.opt_state,
+                                         batch, rng)
+    np.testing.assert_allclose(float(mloss), float(ploss), rtol=1e-5)
+    for k in pv:
+        np.testing.assert_allclose(np.asarray(mv[k]), np.asarray(pv[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_data_parallel_training_converges():
     """Round-1 verdict item 10: DP training beyond one step — the loss
     decreases over 20 sharded steps and every variable stays fully
