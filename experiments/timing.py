@@ -232,7 +232,7 @@ def time_adapnet(_run, num_units=None, num_classes=None, repetitions=None,
 def time_train_step(_run, num_units=None, num_classes=None,
                     repetitions=None, compute_dtype=None, batchsize=1,
                     augment=False, height=HEIGHT, width=WIDTH,
-                    model="simple_fcn", microbatch=0):
+                    model="simple_fcn", microbatch=0, remat=False):
     """Full train step (forward + backward + Adam + BN stats) on constant
     frames, ``model`` in {simple_fcn, adapnet};
     ``augment=True`` adds the on-device augmentation chain
@@ -259,6 +259,9 @@ def time_train_step(_run, num_units=None, num_classes=None,
         # gradient accumulation over unrolled microbatch programs
         # (estimator.py _train_step; ghost-BN statistics)
         kwargs["microbatch_size"] = int(microbatch)
+    if remat:
+        # rematerialize forward activations in the backward (jax.checkpoint)
+        kwargs["remat"] = True
     net = get_model(model)(batchsize=batchsize, **kwargs)
     rng = np.random.RandomState(0)
     batch = {

@@ -184,6 +184,15 @@ class Estimator:
             out = self._train_outputs(ctx, train_batch)
             return out["loss"], ctx.updates
 
+        if self.config.get("remat"):
+            # Rematerialization: recompute forward activations during the
+            # backward pass instead of keeping them resident — trades
+            # FLOPs for HBM so memory-bound configs (large batches /
+            # oversized frames on one chip) fit. Semantics-preserving by
+            # construction (jax.checkpoint); gradient equality locked by
+            # tests/test_simple_fcn.py::test_remat_training_matches_plain.
+            loss_fn = jax.checkpoint(loss_fn)
+
         (loss, bn_updates), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(train_vars)
         weight = jnp.sum(train_batch["labels"])  # non-void pixel count

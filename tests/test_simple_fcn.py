@@ -102,6 +102,30 @@ def test_microbatch_training_with_batchnorm_converges(data):
     assert losses[-1] < 0.7 * losses[0]
 
 
+def test_remat_training_matches_plain(data):
+    """remat=True (jax.checkpoint over the loss) is semantics-preserving:
+    one train step produces the same loss and updated variables."""
+    import jax
+
+    batch = None
+    results = {}
+    for remat in (False, True):
+        net = get_model("simple_fcn")(
+            prefix="rgb", modality="rgb", num_units=4,
+            data_description=data.get_data_description(), batchsize=2,
+            learning_rate=0.01, remat=remat)
+        if batch is None:
+            batch = next(iter(data.get_trainset().batches(2)))
+        results[remat] = net._train_step(
+            net.variables, net.opt_state, batch, jax.random.PRNGKey(3))
+        net.close()
+    (pv, _, ploss), (rv, _, rloss) = results[False], results[True]
+    np.testing.assert_allclose(float(rloss), float(ploss), rtol=1e-6)
+    for k in pv:
+        np.testing.assert_allclose(np.asarray(rv[k]), np.asarray(pv[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_predict_and_score(small_net, data):
     preds = small_net.predict(data.get_testset())
     assert preds.shape == (3, 32, 32)
