@@ -60,6 +60,31 @@ def train_and_evaluate(net, output_dir, data, num_iterations,
     _run.info["measurements"] = measurements
 
 
+def _find_checkpoint(exp_data, run_id):
+    """Latest checkpoint of a run: the stored checkpoint.pkl artifact if
+    the run finished (or was Ctrl-C'd), else the run's live output dir
+    under EXP_OUT — the location a run killed mid-fit (OOM, preemption,
+    SIGKILL) leaves its periodic checkpoints in, since artifacts are
+    only registered after fit returns."""
+    try:
+        checkpoint = exp_data.get_artifact("checkpoint.pkl")
+    except UserWarning:
+        checkpoint = None
+    if checkpoint is None:
+        candidate = os.path.join(EXP_OUT, str(run_id), "checkpoint.pkl")
+        return candidate if os.path.exists(candidate) else None
+    if hasattr(checkpoint, "read"):
+        # zip-backend artifact: materialize to a temp file for
+        # Estimator.load_weights (which takes a path)
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".pkl", delete=False)
+        tmp.write(checkpoint.read())
+        tmp.close()
+        return tmp.name
+    return checkpoint
+
+
 @ex.command
 def resume(experiment_id, _run, num_iterations=None):
     """Resume an interrupted training run from its periodic checkpoint.
@@ -68,23 +93,47 @@ def resume(experiment_id, _run, num_iterations=None):
 
         python -m experiments.training resume with experiment_id=12
 
-    Loads the recorded config of run ``experiment_id``, restores its
-    latest ``checkpoint.pkl`` artifact (weights + optimizer state +
-    step — written every ``net_config.checkpoint_interval`` steps), and
+    Restores the latest ``checkpoint.pkl`` (weights + optimizer state +
+    step — written every ``net_config.checkpoint_interval`` steps) and
     continues training for the remaining iterations in a NEW run
-    directory; the original record stays immutable. Completes the
-    failure-recovery loop the reference lacks entirely (SURVEY.md §5:
-    its only recovery is KeyboardInterrupt -> save weights,
-    reference training.py:63-68). ``num_iterations`` optionally
-    overrides the original target step count.
+    directory; the original record stays immutable. Works for runs that
+    crashed mid-fit (the observer writes the record skeleton at run
+    start, and the checkpoint is picked up from the run's EXP_OUT dir if
+    it was never registered as an artifact) and for resuming a resume
+    (the experiment chain is followed back to the original training
+    config). Completes the failure-recovery loop the reference lacks
+    entirely (SURVEY.md §5: its only recovery is KeyboardInterrupt ->
+    save weights, reference training.py:63-68). ``num_iterations``
+    optionally overrides the original target step count.
     """
     from experiments.utils import ExperimentData
 
-    old = ExperimentData(experiment_id)
-    record = old.get_record()
-    cfg = record["config"]
-    total = int(num_iterations or cfg["num_iterations"])
-    checkpoint = old.get_artifact("checkpoint.pkl")
+    # walk the resume chain: take the checkpoint from the NEWEST run in
+    # the chain that has one, and the model/dataset config + iteration
+    # target from the original training run
+    run_id = int(experiment_id)
+    total = num_iterations
+    checkpoint, checkpoint_of = None, None
+    seen = set()
+    while True:
+        if run_id in seen:
+            raise UserWarning(f"resume chain loops at run {run_id}")
+        seen.add(run_id)
+        record = ExperimentData(run_id).get_record()
+        cfg = record["config"]
+        if checkpoint is None:
+            checkpoint = _find_checkpoint(ExperimentData(run_id), run_id)
+            checkpoint_of = run_id
+        if total is None and "num_iterations" in cfg:
+            total = cfg["num_iterations"]
+        if "modelname" in cfg:
+            break  # the original training run
+        run_id = int(cfg["experiment_id"])  # a resume run: follow back
+    if checkpoint is None:
+        raise UserWarning(
+            f"no checkpoint.pkl found for run {experiment_id} (set "
+            "net_config.checkpoint_interval when training)")
+    total = int(total)
 
     output_dir = create_directories(_run._id, ex)
     data_cls = get_dataset(cfg["dataset"]["name"])
@@ -95,7 +144,7 @@ def resume(experiment_id, _run, num_iterations=None):
                            if k != "name"})
         net.load_weights(checkpoint)
         remaining = max(total - net.global_step, 0)
-        print(f"INFO: resuming run {experiment_id} at step "
+        print(f"INFO: resuming run {checkpoint_of} at step "
               f"{net.global_step}; {remaining} iterations remaining")
         train_and_evaluate(net, output_dir, data,
                            num_iterations=remaining,

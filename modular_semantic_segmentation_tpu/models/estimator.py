@@ -126,6 +126,16 @@ class Estimator:
 
     # ------------------------------------------------------------- contracts
     def _train_outputs(self, ctx, batch):
+        """Subclass contract: return a dict with key 'loss'.
+
+        CONSTRAINT when ``microbatch_size`` is configured: the loss must
+        be the valid-pixel MEAN (normalized by the one-hot label count,
+        i.e. ops/losses.cross_entropy) — the microbatch accumulation
+        recombines gradients weighted by each microbatch's non-void
+        pixel count, which reconstructs the full-batch gradient only for
+        that loss form. A subclass with a differently-normalized loss or
+        additive regularizers must not be trained with microbatching.
+        """
         raise NotImplementedError
 
     def _test_outputs(self, ctx, batch):
@@ -202,8 +212,20 @@ class Estimator:
                     spatial_axis=None):
         micro = int(self.config.get("microbatch_size") or 0)
         batchsize = int(next(iter(batch.values())).shape[0])
-        if micro and spatial_axis is None and batchsize > micro \
-                and batchsize % micro == 0:
+        if micro:
+            # loud misconfiguration: a user who set microbatch_size is
+            # relying on the small per-microbatch program (memory or the
+            # large-batch tiling penalty) — silently running the
+            # full-batch path would defeat exactly that
+            if spatial_axis is not None:
+                raise NotImplementedError(
+                    "microbatch_size does not compose with spatial "
+                    "partitioning (distribute_spatial)")
+            if batchsize % micro:
+                raise ValueError(
+                    f"microbatch_size={micro} must divide the batch "
+                    f"size ({batchsize})")
+        if micro and batchsize > micro:
             # Gradient accumulation over statically-unrolled microbatches:
             # XLA's spatial tiling degrades at batch >1 for these
             # full-frame shapes (batch-4 step 54.9 ms vs 4x11.0 unrolled,
@@ -242,11 +264,10 @@ class Estimator:
             grads = jax.tree.map(lambda a: a * scale, num)
             loss = loss_sum * scale
             bn_updates = {k: sum(vs) / len(vs) for k, vs in bn_acc.items()}
-            train_vars, _ = split_trainable(variables, self.trainable)
         else:
             loss, _, bn_updates, grads = self._microbatch_grads(
                 variables, batch, rng, spatial_axis)
-            train_vars, _ = split_trainable(variables, self.trainable)
+        train_vars, _ = split_trainable(variables, self.trainable)
         if spatial_axis is not None:
             # Every shard differentiates its own copy of the (identical,
             # psum-global) loss; the transpose of the loss psum replicates

@@ -16,6 +16,8 @@ same function body serves init and apply; everything traces into one XLA
 program — no graph/session split.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,10 +110,7 @@ def _conv_same(x, kernel, dilation):
         preferred_element_type=x.dtype)
 
 
-from functools import partial as _vjp_partial  # noqa: E402
-
-
-@_vjp_partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _conv_taps_grad(x, kernel, dilation):
     """Stride-1 SAME conv with a matmul-decomposed kernel gradient.
 
@@ -476,10 +475,7 @@ def deconv2d(ctx, x, filters, kernel_size, name, strides=1, activation=None,
     return out
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _maxpool_nonoverlap(sh, sw, x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,

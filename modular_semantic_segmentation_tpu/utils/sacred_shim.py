@@ -74,6 +74,23 @@ class FileStorageObserver:
         run._dir = run_dir
         with open(os.path.join(run_dir, "config.json"), "w") as f:
             json.dump(_jsonable(run.config), f, indent=2, default=str)
+        # run.json/info.json skeletons at START (status RUNNING), so a
+        # run killed mid-fit (OOM, preemption, SIGKILL) is still loadable
+        # by ExperimentData and recoverable with `training resume`;
+        # finish_run overwrites both. Real sacred records RUNNING status
+        # the same way.
+        record = {
+            "_id": run._id,
+            "status": "RUNNING",
+            "command": run.command,
+            "artifacts": [],
+            "experiment": {"name": run.experiment_name,
+                           "mainfile": run.mainfile},
+        }
+        with open(os.path.join(run_dir, "run.json"), "w") as f:
+            json.dump(_jsonable(record), f, indent=2, default=str)
+        with open(os.path.join(run_dir, "info.json"), "w") as f:
+            json.dump({}, f)
 
     def save_artifact(self, run, filepath, name=None):
         name = name or os.path.basename(filepath)

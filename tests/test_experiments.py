@@ -117,6 +117,21 @@ def test_training_resume_cli(storage, training_run):
                    if d.isdigit() and d not in before)
     assert "checkpoint.pkl" in os.listdir(os.path.join(store, str(ckpt_run)))
 
+    # simulate a run KILLED mid-fit (OOM/preemption/SIGKILL): the record
+    # skeleton written at run start says RUNNING, no artifacts were
+    # registered, and the checkpoint only exists in the EXP_OUT live dir
+    run_dir = os.path.join(store, str(ckpt_run))
+    os.remove(os.path.join(run_dir, "checkpoint.pkl"))
+    for f in list(os.listdir(run_dir)):
+        if "weights" in f:
+            os.remove(os.path.join(run_dir, f))
+    record = json.load(open(os.path.join(run_dir, "run.json")))
+    record.update(status="RUNNING", artifacts=[])
+    json.dump(record, open(os.path.join(run_dir, "run.json"), "w"))
+    json.dump({}, open(os.path.join(run_dir, "info.json"), "w"))
+    assert os.path.exists(os.path.join(storage["EXP_OUT"], str(ckpt_run),
+                                       "checkpoint.pkl"))
+
     result = _run_cli("experiments.training",
                       ["resume", "with", f"experiment_id={ckpt_run}",
                        "num_iterations=4"], storage)
@@ -128,6 +143,14 @@ def test_training_resume_cli(storage, training_run):
     assert any("weights" in f for f in files)
     record = json.load(open(os.path.join(store, str(resumed), "run.json")))
     assert record["status"] == "COMPLETED"
+
+    # resume-of-a-resume: the chain walks back to the original training
+    # config, and the newest run's own checkpoint (step 4) is used
+    result = _run_cli("experiments.training",
+                      ["resume", "with", f"experiment_id={resumed}",
+                       "num_iterations=6"], storage)
+    assert f"resuming run {resumed} at step 4" in result.stdout
+    assert "2 iterations remaining" in result.stdout
 
 
 def test_bayes_fusion_cli(storage, training_run):
