@@ -134,3 +134,45 @@ def test_uncertainty_dirichlet_fusion(setup):
     assert preds.shape == (3, 32, 32)
     mix = net.predict(data.get_testset(), output_attr="rgb_uncertainty")
     assert float(mix.max()) <= 1.0 + 1e-5
+
+
+def test_three_expert_fusion():
+    """The fusion stack is E-ary, not hard-coded to the paper's two
+    experts: three modalities (rgb, depth, ir) fuse through Bayes and
+    Average end to end — build, predict, score (the reference's
+    basic_fusion_model.py:56-66 loops config['prefixes'] the same way
+    but was only ever run with two)."""
+    num_classes = 5
+    dd = ({"labels": np.int32, "rgb": np.float32, "depth": np.float32,
+           "ir": np.float32},
+          {"rgb": (None, None, 3), "depth": (None, None, 1),
+           "ir": (None, None, 1), "labels": (None, None)}, num_classes)
+    rng = np.random.RandomState(0)
+    cms = {m: rng.rand(num_classes, num_classes) + np.eye(num_classes) * 5
+           for m in ("rgb", "depth", "ir")}
+    batch = {"rgb": rng.rand(2, 32, 32, 3).astype(np.float32) * 255,
+             "depth": rng.rand(2, 32, 32, 1).astype(np.float32),
+             "ir": rng.rand(2, 32, 32, 1).astype(np.float32),
+             "labels": rng.randint(0, num_classes, (2, 32, 32)
+                                   ).astype(np.int32)}
+    config = dict(num_units=4, expert_model="fcn", batchsize=2,
+                  prefixes={"rgb": "rgb", "depth": "depth", "ir": "ir"})
+
+    bayes = get_model("bayes_mix")(data_description=dd,
+                                   confusion_matrices=cms, **config)
+    assert any(k.startswith("ir/conv1_1") for k in bayes.variables)
+    preds = bayes.predict(batch)
+    assert preds.shape == (2, 32, 32)
+    measures, cm = bayes.score(batch)
+    assert cm.shape == (num_classes, num_classes)
+    bayes.close()
+
+    avg = get_model("average")(data_description=dd, **config)
+    preds = avg.predict(batch)
+    assert preds.shape == (2, 32, 32)
+    # the fused score is the mean of the THREE experts' softmax probs
+    fused = avg.predict(batch, output_attr="fused_score")
+    np.testing.assert_allclose(np.asarray(fused).sum(-1), 1.0, rtol=1e-4)
+    ir_prob = avg.predict(batch, output_attr="ir_prob")
+    assert ir_prob.shape == (2, 32, 32, num_classes)
+    avg.close()
