@@ -67,14 +67,18 @@ class _Source:
     """Minimal DataSource clone over the disk corpus (same stack/pool code
     path as datasets.data_baseclass.DataSource)."""
 
-    def __init__(self, root, n, compact_transfer=False):
+    def __init__(self, root, n, compact_transfer=False, raw=False):
         from modular_semantic_segmentation_tpu.datasets.data_baseclass import \
             DataSource
         self._root, self._n = root, n
         self._ds = DataSource.__new__(DataSource)
         self._ds.modalities = ["rgb", "depth", "labels"]
         self._ds.compact_transfer = compact_transfer
-        self._ds.get_blob = lambda i: load_blob(root, i % n)
+        # raw=True skips host augmentation — the feed for ON-DEVICE
+        # augmentation training (ops/device_augment.py), where the host
+        # only decodes and ships raw frames
+        self._ds.get_blob = lambda i: load_blob(root, i % n,
+                                                training_format=not raw)
         self._ds._items = list(range(n))
 
     def batches(self, batchsize, repeat=True, workers=None):
@@ -109,6 +113,11 @@ def main(num_frames=64):
             "decode_augment_compact_u8_seq_img_per_s": round(
                 measure(_Source(root, num_frames, compact_transfer=True), 8),
                 1),
+            # device-augmentation training feed: decode + compact uint8
+            # ship, augmentation runs inside the jitted train step
+            "decode_raw_compact_u8_seq_img_per_s": round(
+                measure(_Source(root, num_frames, compact_transfer=True,
+                                raw=True), 8), 1),
             "host_cores": os.cpu_count(),
         }
         print(json.dumps(results))
