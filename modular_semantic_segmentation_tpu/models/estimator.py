@@ -319,8 +319,12 @@ class Estimator:
         # the GIL); default pool size = host cores, so a 1-core box stays
         # sequential while real hosts overlap assembly with device compute
         workers = self.config.get("loader_workers", os.cpu_count())
+        # shuffle order derives from the model seed: two runs with the
+        # same config see the same data order (full-trajectory
+        # reproducibility; the reference's tf.data shuffle was unseeded)
         batches = training_batches(data, self.config["batchsize"],
-                                   workers=workers)
+                                   workers=workers,
+                                   seed=int(self.config.get("seed", 0)))
         batches = to_device_prefetched(batches)
 
         summary_file = None

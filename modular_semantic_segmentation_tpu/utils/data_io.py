@@ -40,23 +40,25 @@ def _dict_to_batches(data, batchsize, order=None):
 
 
 def _as_batch_iterator(data, batchsize, shuffle=False, repeat=False,
-                       workers=None):
+                       workers=None, seed=None):
     """Normalize the accepted data forms into an iterator of batch dicts.
 
     Accepts: a DataSource (duck-typed via .batches), a dict of stacked
-    arrays, or any iterator/generator of batch dicts.
+    arrays, or any iterator/generator of batch dicts. ``seed`` makes the
+    shuffle order deterministic (fit() passes the model's config seed so
+    training trajectories reproduce run to run).
     """
     if hasattr(data, "batches"):
         try:
             return data.batches(batchsize, shuffle=shuffle, repeat=repeat,
-                                workers=workers)
-        except TypeError:  # custom sources without worker support
+                                seed=seed, workers=workers)
+        except TypeError:  # custom sources without seed/worker support
             return data.batches(batchsize, shuffle=shuffle, repeat=repeat)
     if isinstance(data, dict):
         total = next(iter(data.values())).shape[0]
         # Mirror DataSource.batches: fresh permutation each epoch when
         # shuffling (the reference shuffles its trainset too).
-        rng = np.random.RandomState(None) if shuffle else None
+        rng = np.random.RandomState(seed) if shuffle else None
 
         def epochs():
             while True:
@@ -78,14 +80,15 @@ def iterate_batches(data, batchsize, pad=False, pad_label=-1):
         yield batch, valid
 
 
-def training_batches(data, batchsize, workers=None):
+def training_batches(data, batchsize, workers=None, seed=None):
     """Infinite shuffled batch iterator for fit().
 
     ``workers``: thread-pool size for parallel blob assembly (decode +
     augment + pack run off the training thread; see DataSource.batches).
+    ``seed``: deterministic shuffle order (None = fresh entropy).
     """
     return _as_batch_iterator(data, batchsize, shuffle=True, repeat=True,
-                              workers=workers)
+                              workers=workers, seed=seed)
 
 
 def to_device_prefetched(batch_iterator, buffer_size=2):

@@ -126,6 +126,25 @@ def test_remat_training_matches_plain(data):
                                    rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+def test_training_is_reproducible_from_seed(data):
+    """Two fits with the same config produce identical weights: the data
+    shuffle order now derives from the model seed (the reference's
+    tf.data shuffle was unseeded, so its runs were never reproducible)."""
+    def run():
+        net = get_model("simple_fcn")(
+            prefix="rgb", modality="rgb", num_units=4, seed=11,
+            data_description=data.get_data_description(), batchsize=2,
+            learning_rate=0.01)
+        net.fit(data.get_trainset(), 3, output=False)
+        variables = {k: np.asarray(v) for k, v in net.variables.items()}
+        net.close()
+        return variables
+
+    a, b = run(), run()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_predict_and_score(small_net, data):
     preds = small_net.predict(data.get_testset())
     assert preds.shape == (3, 32, 32)
