@@ -17,11 +17,13 @@ from modular_semantic_segmentation_tpu.ops.losses import cross_entropy
 from modular_semantic_segmentation_tpu.models.estimator import Estimator
 
 
-def encoder(ctx, inputs, prefix, num_units, dropout_rate=0.0, trainable=True,
-            batchnorm=True, dropout_layers=()):
-    """VGG16 image encoder with fusion of conv4_3 and conv5_3 features
-    (reference simple_fcn.py:10-87). Returns dict of layer outputs; the
-    encoding has key 'fused'."""
+def encoder_head(ctx, inputs, prefix, dropout_rate=0.0, trainable=True,
+                 batchnorm=True, dropout_layers=()):
+    """conv1_1 .. pool3 — the encoder up to (exclusive of) the first
+    dropout site. With the reference's dropout placements (pool3/pool4/
+    conv4_3/conv5_3, simple_fcn.py:49-78) this prefix is DETERMINISTIC,
+    so MC-dropout samplers compute it once and fan out stochastic tails
+    (see VarianceFusion)."""
     params = {"trainable": trainable, "batch_normalization": batchnorm,
               "activation": jax.nn.relu}
     with ctx.scope(prefix):
@@ -39,6 +41,17 @@ def encoder(ctx, inputs, prefix, num_units, dropout_rate=0.0, trainable=True,
         l["conv3_3"] = ll.conv2d(ctx, l["conv3_2"], 256, 3, "conv3_3",
                                  **params)
         l["pool3"] = ll.max_pool2d(ctx, l["conv3_3"], 2, 2)
+    return l
+
+
+def encoder_tail(ctx, l, prefix, num_units, dropout_rate=0.0, trainable=True,
+                 batchnorm=True, dropout_layers=()):
+    """pool3 dropout .. 'fused' — the (possibly stochastic) encoder rest.
+    ``l`` is the layer dict from :func:`encoder_head`; mutates and
+    returns it."""
+    params = {"trainable": trainable, "batch_normalization": batchnorm,
+              "activation": jax.nn.relu}
+    with ctx.scope(prefix):
         last_layer = l["pool3"]
         # MC-dropout after pool3/pool4 runs with training=True always
         # (reference simple_fcn.py:49-64).
@@ -81,6 +94,21 @@ def encoder(ctx, inputs, prefix, num_units, dropout_rate=0.0, trainable=True,
                                     trainable=False)
         l["fused"] = score_conv4 + upscore_conv5
     return l
+
+
+def encoder(ctx, inputs, prefix, num_units, dropout_rate=0.0, trainable=True,
+            batchnorm=True, dropout_layers=()):
+    """VGG16 image encoder with fusion of conv4_3 and conv5_3 features
+    (reference simple_fcn.py:10-87). Returns dict of layer outputs; the
+    encoding has key 'fused'. Composed of :func:`encoder_head` (the
+    deterministic conv1..pool3 prefix) and :func:`encoder_tail` (the
+    dropout-bearing rest) — identical layer names and numerics."""
+    l = encoder_head(ctx, inputs, prefix, dropout_rate=dropout_rate,
+                     trainable=trainable, batchnorm=batchnorm,
+                     dropout_layers=dropout_layers)
+    return encoder_tail(ctx, l, prefix, num_units, dropout_rate=dropout_rate,
+                        trainable=trainable, batchnorm=batchnorm,
+                        dropout_layers=dropout_layers)
 
 
 def decoder(ctx, features, prefix, num_units, num_classes, trainable=True,
