@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from modular_semantic_segmentation_tpu.ops import layers as ll
 from modular_semantic_segmentation_tpu.ops.losses import cross_entropy
-from modular_semantic_segmentation_tpu.models.simple_fcn import fcn
+from modular_semantic_segmentation_tpu.models.simple_fcn import (
+    decoder, encoder_head, encoder_tail, fcn)
 from modular_semantic_segmentation_tpu.models.uncertainty_model import \
     UncertaintyModel
 
@@ -68,10 +69,32 @@ class BayesianFCN(UncertaintyModel):
 
     def _test_outputs(self, ctx, batch):
         temperature = self.config.get("temperature_scaling", 1.0)
-        samples = jnp.stack(
-            [ll.softmax(self._sample_pipeline(ctx, batch[self.modality])
-                        ["score"], temperature=temperature)
-             for _ in range(self.config["num_samples"])], axis=0)
+        cfg = self.config
+        # Every dropout site sits after pool3 (the reference gates
+        # pool3/pool4/conv4_3/conv5_3/features only, simple_fcn.py:49-78
+        # — encoder_head is deterministic by construction), so the N MC
+        # samples share ONE head pass and run the stochastic tail +
+        # decoder as a single batch of N*B elements: convs/pools/eval-BN
+        # are batch-element-independent and dropout draws an independent
+        # mask per element, so this computes sample-for-sample what an
+        # N-loop would, with N-fold pixel parallelism in the deep convs.
+        head = encoder_head(ctx, batch[self.modality], self.prefix,
+                            batchnorm=cfg["batch_normalization"])
+        n = cfg["num_samples"]
+        tail = encoder_tail(
+            ctx, {"pool3": jnp.concatenate([head["pool3"]] * n, axis=0)},
+            self.prefix, cfg["num_units"],
+            dropout_rate=cfg["dropout_rate"],
+            dropout_layers=cfg["dropout_layers"],
+            batchnorm=cfg["batch_normalization"])
+        dec = decoder(
+            ctx, tail["fused"], self.prefix, cfg["num_units"],
+            cfg["num_classes"], batchnorm=cfg["batch_normalization"],
+            dropout_rate=(cfg["dropout_rate"]
+                          if "features" in cfg["dropout_layers"] else None))
+        stacked = ll.softmax(dec["score"], temperature=temperature)
+        samples = stacked.reshape((n, stacked.shape[0] // n)
+                                  + stacked.shape[1:])
         mean, uncertainties = sampling_uncertainty(samples)
         out = {"prob": mean, "prediction": jnp.argmax(mean, 3)}
         out.update(uncertainties)

@@ -46,23 +46,30 @@ class VarianceFusion(FusionModel):
 
     def _test_outputs(self, ctx, batch):
         probs, variances = {}, {}
+        num_samples = self.config["num_samples"]
         for m in self.modalities:
             prefix = self.config["prefixes"][m]
             # The dropout sites are pool3/pool4 (reference
             # variance_mix.py:46-69 resamples the WHOLE network), so
             # conv1..pool3 — ~55% of the expert's FLOPs — is
-            # deterministic: compute it ONCE and fan out N stochastic
+            # deterministic: compute it ONCE and fan out the stochastic
             # tails + the clean classification tail. Identical sampling
-            # distribution. NOTE: measured perf-neutral (16.8 -> 16.7
-            # ms/frame at N=5) — XLA's CSE already deduplicated the N
-            # identical head subexpressions; the explicit split makes
-            # the sharing structural instead of optimizer-dependent.
+            # distribution. The N stochastic tails run as ONE tail at
+            # batch N*B: encoder_tail reads only 'pool3', its convs and
+            # pools are batch-element-independent, and dropout draws an
+            # independent mask per batch element — so the batched pass
+            # computes sample-for-sample what the N-loop did, while the
+            # tail's deep 96x48/48x24 convs (which underfeed the MXU at
+            # batch 1) get N-fold pixel parallelism.
             head = encoder_head(ctx, batch[m], prefix, trainable=False,
                                 batchnorm=False)
-            samples = jnp.stack(
-                [self._tail_prob(ctx, head, prefix, dropout=True)
-                 for _ in range(self.config["num_samples"])], axis=4)
-            variance = jnp.mean(jnp.var(samples, axis=4), axis=3,
+            tiled = {"pool3": jnp.concatenate(
+                [head["pool3"]] * num_samples, axis=0)}
+            stacked = self._tail_prob(ctx, tiled, prefix, dropout=True)
+            samples = stacked.reshape(
+                (num_samples, stacked.shape[0] // num_samples)
+                + stacked.shape[1:])
+            variance = jnp.mean(jnp.var(samples, axis=0), axis=3,
                                 keepdims=True)
             # classification prob comes from a clean pass
             probs[m] = self._tail_prob(ctx, head, prefix, dropout=False)

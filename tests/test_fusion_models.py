@@ -123,6 +123,32 @@ def test_variance_fusion(setup):
     assert (np.asarray(var) >= 0).all()
 
 
+def test_variance_fusion_batched_samples_are_exact(setup):
+    """The N stochastic tails run as ONE batched tail pass
+    (variance_fusion.py); at dropout_rate=0 every batched sample must
+    bit-match the clean tail, so the MC variance collapses to 0 — this
+    locks the batch-tiling restructuring (convs/pools must stay
+    batch-element-independent)."""
+    data, weights, _ = setup
+    net = get_model("variance")(
+        data_description=data.get_data_description(), num_samples=3,
+        dropout_rate=0.0, **FUSION_CONFIG)
+    _import_experts(net, weights)
+    for m in ("rgb", "depth"):
+        var = np.asarray(
+            net.predict(data.get_testset(), output_attr=f"{m}_variance"))
+        assert float(np.abs(var).max()) < 1e-12
+    # with zero variance everywhere both experts weight equally, so the
+    # fused prediction equals argmax of the mean of the clean probs
+    probs = [np.asarray(net.predict(data.get_testset(),
+                                    output_attr=f"{m}_prob"))
+             for m in ("rgb", "depth")]
+    preds = np.asarray(net.predict(data.get_testset()))
+    expected = np.argmax(probs[0] + probs[1], axis=-1)
+    # allow a sliver of argmax ties flipped by fp renormalization noise
+    assert (preds != expected).mean() < 0.01
+
+
 def test_uncertainty_dirichlet_fusion(setup):
     data, weights, _ = setup
     net = get_model("uncertainty_dirichlet_mix")(

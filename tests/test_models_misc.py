@@ -54,6 +54,25 @@ def test_bayesian_fcn_uncertainty(data):
     net.close()
 
 
+def test_bayesian_fcn_batched_samples_are_exact(data):
+    """BayesianFCN runs its N MC samples as one batched stochastic-tail
+    pass (bayesian_fcn.py _test_outputs); at dropout_rate=0 all samples
+    must bit-match, so the sample variance collapses to 0 and the mean
+    conditional entropy equals the entropy of the mean."""
+    net = get_model("bayesian_fcn")(
+        prefix="rgb", modality="rgb", num_units=4, num_samples=3,
+        dropout_rate=0.0, data_description=data.get_data_description(),
+        batchsize=2, seed=3)
+    var = np.asarray(net.predict(data.get_testset(),
+                                 output_attr="variance"))
+    assert float(np.abs(var).max()) < 1e-12
+    ent = np.asarray(net.predict(data.get_testset(), output_attr="entropy"))
+    cond = np.asarray(net.predict(data.get_testset(),
+                                  output_attr="cond_entropy"))
+    np.testing.assert_allclose(cond, ent, atol=1e-6)
+    net.close()
+
+
 def test_bayesian_fcn_temperature_scaling(data):
     config = dict(prefix="rgb", modality="rgb", num_units=4, num_samples=2,
                   dropout_rate=0.0,
