@@ -27,3 +27,15 @@ def get_dataset(name):
     module = importlib.import_module(
         f"modular_semantic_segmentation_tpu.datasets.{module_name}")
     return getattr(module, cls_name)
+
+
+_CLASS_NAMES = {cls: name for name, (_, cls) in _REGISTRY.items()}
+
+
+def __getattr__(name):
+    """Lazy class exports (PEP 562): ``from ...datasets import Synthia``
+    works like the reference's ``from xview.data import Synthia``
+    (reference README.md:65) without importing every driver upfront."""
+    if name in _CLASS_NAMES:
+        return get_dataset(_CLASS_NAMES[name])
+    raise AttributeError(name)

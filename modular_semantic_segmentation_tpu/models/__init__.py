@@ -34,3 +34,15 @@ def get_model(name):
     module = importlib.import_module(
         f"modular_semantic_segmentation_tpu.models.{module_name}")
     return getattr(module, cls_name)
+
+
+_CLASS_NAMES = {cls: name for name, (_, cls) in _REGISTRY.items()}
+
+
+def __getattr__(name):
+    """Lazy class exports (PEP 562): ``from ...models import SimpleFCN``
+    mirrors the reference's direct class imports (reference README.md:64)
+    while keeping package import fast."""
+    if name in _CLASS_NAMES:
+        return get_model(_CLASS_NAMES[name])
+    raise AttributeError(name)

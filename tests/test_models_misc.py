@@ -14,6 +14,18 @@ def data():
                                    num_measure=2, num_test=2)
 
 
+def test_lazy_class_exports():
+    """Reference-style direct class imports (reference README.md:64-65)
+    resolve through the registries via PEP 562 module __getattr__."""
+    from modular_semantic_segmentation_tpu.models import SimpleFCN
+    from modular_semantic_segmentation_tpu.datasets import Synthia
+    assert SimpleFCN is get_model("simple_fcn")
+    assert Synthia is get_dataset("synthia")
+    import modular_semantic_segmentation_tpu.models as models_pkg
+    with pytest.raises(AttributeError):
+        models_pkg.NotAModel
+
+
 def test_adapnet_build_and_train(data):
     net = get_model("adapnet")(
         data_description=data.get_data_description(), modality="rgb",
