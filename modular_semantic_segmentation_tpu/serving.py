@@ -114,3 +114,102 @@ def serve_frames(estimator, frames, **kwargs):
     """One-shot convenience: ``InferenceServer(estimator, **kwargs)
     .predict(frames)``."""
     return InferenceServer(estimator, **kwargs).predict(frames)
+
+
+# --------------------------------------------------------- AOT deployment
+
+def export_serving(estimator, directory, example_batch,
+                   output_attr="prediction", platforms=None):
+    """AOT-export the inference program for deployment without model code.
+
+    Serializes the jitted forward (StableHLO via ``jax.export``) together
+    with the weights and an input-signature manifest; ``load_serving``
+    runs it on a host that has jax but NOT this package's model classes —
+    the deployment analogue of the reference's frozen inference graphs
+    (reference experiments/timing.py:23-46 builds those in-process; here
+    the frozen program is a portable artifact).
+
+    Weights stay a runtime input (shipped as a sidecar npz) rather than
+    baked-in constants: programs stay small (multi-MB weight constants
+    upset compile pipelines — docs/ROADMAP.md environment notes) and the
+    same artifact can be re-pointed at retrained weights of identical
+    shapes.
+
+    Args:
+        estimator: fitted Estimator (expert or fusion model). The CURRENT
+            serving mode is captured — quantize_for_serving first to
+            export the int8 path.
+        directory: output dir; writes program.jaxexport, weights.npz,
+            meta.json.
+        example_batch: blob dict with BATCHED arrays fixing the exported
+            input shapes/dtypes (static shapes — one artifact per served
+            shape, like any AOT compile).
+        output_attr: which test output the program returns.
+        platforms: lowering platforms tuple (e.g. ``("tpu",)`` or
+            ``("cpu", "tpu")``); None = the current default backend.
+    """
+    import json
+    import os
+
+    from jax import export as jax_export
+
+    net = estimator
+
+    def forward(variables, rng, batch):
+        ctx = Ctx(variables, train=False, rng=rng,
+                  compute_dtype=net.compute_dtype,
+                  act_scales=net.act_scales)
+        return net._test_outputs(ctx, net._preprocess(batch))[output_attr]
+
+    spec = lambda v: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)  # noqa: E731
+    var_specs = {k: spec(v) for k, v in net.variables.items()}
+    batch_specs = {k: spec(v) for k, v in example_batch.items()}
+    rng_example = net._next_rng()
+    exported = jax_export.export(jax.jit(forward), platforms=platforms)(
+        var_specs, spec(rng_example), batch_specs)
+
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "program.jaxexport"), "wb") as f:
+        f.write(exported.serialize())
+    np.savez(os.path.join(directory, "weights.npz"),
+             **{k: np.asarray(v) for k, v in net.variables.items()})
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump({
+            "output_attr": output_attr,
+            "platforms": list(exported.platforms),
+            "rng_dtype": str(np.asarray(rng_example).dtype),
+            "rng_shape": list(np.shape(rng_example)),
+            "inputs": {k: {"shape": list(s.shape), "dtype": str(s.dtype)}
+                       for k, s in batch_specs.items()},
+        }, f, indent=2)
+    return directory
+
+
+class ExportedServing:
+    """Runs an ``export_serving`` artifact; needs jax, not the model code.
+
+    >>> served = ExportedServing("/path/to/artifact")
+    >>> prediction = served.predict({"rgb": rgb, "depth": depth})
+
+    ``predict`` re-seeds per call so MC-dropout programs sample freshly;
+    pass ``seed`` for reproducible streams.
+    """
+
+    def __init__(self, directory, seed=0):
+        import json
+        import os
+
+        from jax import export as jax_export
+
+        with open(os.path.join(directory, "program.jaxexport"), "rb") as f:
+            self._exported = jax_export.deserialize(f.read())
+        self._variables = dict(np.load(os.path.join(directory,
+                                                    "weights.npz")))
+        with open(os.path.join(directory, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._rng = jax.random.PRNGKey(seed)
+
+    def predict(self, batch):
+        self._rng, sub = jax.random.split(self._rng)
+        return np.asarray(self._exported.call(self._variables, sub,
+                                              dict(batch)))

@@ -50,3 +50,24 @@ def test_serving_compiles_once_across_groups():
     server.predict(frames)
     # full group and padded tail share the one static-shape program
     assert server.group_program._cache_size() == 1
+
+
+def test_export_serving_roundtrip(tmp_path):
+    """AOT deployment artifact: export_serving writes program + weights +
+    manifest; ExportedServing reproduces net.predict exactly without
+    touching the model class."""
+    from modular_semantic_segmentation_tpu.serving import (ExportedServing,
+                                                           export_serving)
+
+    net, _, full = _net_and_frames(2)
+    want = net.predict(full)
+    art = export_serving(net, str(tmp_path / "artifact"), full)
+    served = ExportedServing(art)
+    got = served.predict(full)
+    np.testing.assert_array_equal(got, want)
+    assert served.meta["output_attr"] == "prediction"
+    # the artifact is re-pointable at same-shape weights: zeroing one
+    # kernel through the sidecar npz changes the served outputs
+    served._variables["rgb/score/kernel"] = np.zeros_like(
+        served._variables["rgb/score/kernel"])
+    assert not np.array_equal(served.predict(full), want) or want.std() == 0
