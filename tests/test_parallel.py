@@ -476,3 +476,46 @@ def test_rejit_preserves_tensor_parallel_shardings():
         "rejit dropped the TP channel sharding"
     got = net.predict(batch, output_attr="prob")
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_distribute_spatial_fused_inference_matches_unsharded():
+    """Height-sharded FUSED inference: distribute_spatial on a BayesFusion
+    runs both experts + the fusion math inside one sharded program (the
+    fusion rule is per-pixel, so it needs no cross-shard communication
+    beyond the experts' halo exchanges) — predictions and the psum'd
+    confusion matrix match the unsharded fusion model."""
+    from modular_semantic_segmentation_tpu.parallel.spatial import \
+        distribute_spatial
+
+    rng_np = np.random.RandomState(2)
+    h, w, num_classes = 128, 32, 5
+    description = ({"labels": np.int32, "rgb": np.float32,
+                    "depth": np.float32},
+                   {"rgb": (None, None, 3), "depth": (None, None, 1),
+                    "labels": (None, None)}, num_classes)
+    cms = {m: rng_np.rand(num_classes, num_classes)
+           + np.eye(num_classes) * 5 for m in ("rgb", "depth")}
+    kwargs = dict(data_description=description, confusion_matrices=cms,
+                  num_units=4, expert_model="fcn",
+                  prefixes={"rgb": "rgb", "depth": "depth"}, batchsize=1,
+                  seed=13)
+    single = get_model("bayes_mix")(**kwargs)
+    sharded = get_model("bayes_mix")(**kwargs)
+    for k in single.variables:
+        np.testing.assert_array_equal(np.asarray(single.variables[k]),
+                                      np.asarray(sharded.variables[k]))
+    distribute_spatial(sharded, make_mesh({"sp": 8}), axis="sp")
+
+    batch = {"rgb": np.asarray(rng_np.rand(1, h, w, 3) * 255, np.float32),
+             "depth": np.asarray(rng_np.rand(1, h, w, 1), np.float32),
+             "labels": rng_np.randint(-1, num_classes,
+                                      (1, h, w)).astype(np.int32)}
+    rng = jax.random.PRNGKey(4)
+    out1 = single._jit_eval_step(single.variables, batch, rng)
+    out2 = sharded._jit_eval_step(sharded.variables, batch, rng)
+    agree = np.mean(np.asarray(out1["prediction"])
+                    == np.asarray(out2["prediction"]))
+    assert agree > 0.99  # argmax ties under f32 reduction-order noise
+    np.testing.assert_allclose(np.asarray(out1["confusion_matrix"]),
+                               np.asarray(out2["confusion_matrix"]),
+                               atol=np.prod((1, h, w)) * 0.01)
