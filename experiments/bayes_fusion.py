@@ -17,7 +17,8 @@ from modular_semantic_segmentation_tpu.models.bayes_fusion import BayesFusion
 from modular_semantic_segmentation_tpu.models.average_fusion import \
     AverageFusion
 from modular_semantic_segmentation_tpu.datasets import get_dataset
-from experiments.utils import ExperimentData, get_observer, load_data
+from experiments.utils import (ExperimentData, data_description,
+                               get_observer, load_data)
 from experiments.evaluation import import_weights_into_network
 
 ex = Experiment()
@@ -55,7 +56,7 @@ def collect_data(fitting_experiment, output_path, _run):
 
     data_cls = get_dataset(evaluation_data["dataset"])
     data = load_data(evaluation_data)
-    with BayesFusion(data_description=data_cls.get_data_description(),
+    with BayesFusion(data_description=data_description(evaluation_data),
                      confusion_matrices=confusion_matrices,
                      **net_config) as net:
         import_weights_into_network(net, starting_weights)
@@ -79,7 +80,7 @@ def collect_data(fitting_experiment, output_path, _run):
 def average(net_config, evaluation_data, starting_weights, _run):
     """Evaluate averaging fusion (reference bayes_fusion.py:96-115)."""
     data_cls = get_dataset(evaluation_data["dataset"])
-    with AverageFusion(data_description=data_cls.get_data_description(),
+    with AverageFusion(data_description=data_description(evaluation_data),
                        **net_config) as net:
         data = load_data(evaluation_data)
         import_weights_into_network(net, starting_weights)
@@ -108,7 +109,7 @@ def fit_and_evaluate(net_config, evaluation_data, starting_weights, _run):
         model_config["modality"] = expert
         model_config["prefix"] = net_config["prefixes"][expert]
         with expert_model(
-                data_description=dataset_cls.get_data_description(),
+                data_description=data_description(evaluation_data),
                 **model_config) as net:
             data = load_data(evaluation_data)
             import_weights_into_network(
@@ -123,7 +124,7 @@ def fit_and_evaluate(net_config, evaluation_data, starting_weights, _run):
             _run.info.setdefault("measurements", {})[expert] = m
     _run.info["confusion_matrices"] = confusion_matrices
 
-    with BayesFusion(data_description=dataset_cls.get_data_description(),
+    with BayesFusion(data_description=data_description(evaluation_data),
                      confusion_matrices=confusion_matrices,
                      **net_config) as net:
         data = load_data(evaluation_data)

@@ -8,6 +8,7 @@ from tqdm import tqdm
 from modular_semantic_segmentation_tpu.utils.sacred_shim import Experiment
 from modular_semantic_segmentation_tpu.models import get_model
 from modular_semantic_segmentation_tpu.datasets import get_dataset
+from experiments.utils import data_description as describe_data
 from experiments.utils import get_observer, load_data
 from experiments.evaluation import evaluate, import_weights_into_network
 
@@ -55,11 +56,10 @@ ex.observers.append(get_observer())
 def main(starting_weights, modelname, net_config, evaluation_data,
          search_parameters, _run):
     model = get_model(modelname)
-    data_description = get_dataset(
-        evaluation_data["dataset"]).get_data_description()
+    description = describe_data(evaluation_data)
 
     def evaluation(parameters):
-        with model(data_description=data_description, **parameters) as net:
+        with model(data_description=description, **parameters) as net:
             import_weights_into_network(net, starting_weights)
             measurements, _ = evaluate(net, load_data(evaluation_data))
         return measurements

@@ -13,6 +13,7 @@ from modular_semantic_segmentation_tpu.models.dirichlet_fusion import \
 from modular_semantic_segmentation_tpu.datasets import get_dataset
 from modular_semantic_segmentation_tpu.datasets.data_baseclass import \
     DataSource
+from experiments.utils import data_description as describe_data
 from experiments.utils import get_observer
 from experiments.evaluation import import_weights_into_network
 from experiments.different_evaluation_parameters import \
@@ -31,12 +32,11 @@ def test_parameters(net_config, evaluation_data, starting_weights,
     configs (reference dirichlet_fusion.py:18-52)."""
     configs_to_test = parameter_combinations(search_parameters, net_config)
     data, _, _ = split_test_data(evaluation_data)
-    data_description = get_dataset(
-        evaluation_data["dataset"]).get_data_description()
+    description = describe_data(evaluation_data)
     search_data, search_validation = train_test_split(
         data.measureset, test_size=0.5, random_state=1)
 
-    with DirichletFusion(data_description=data_description,
+    with DirichletFusion(data_description=description,
                          **configs_to_test[0]) as net:
         import_weights_into_network(net, starting_weights)
         sufficient_statistic = net._get_sufficient_statistic(
@@ -44,7 +44,7 @@ def test_parameters(net_config, evaluation_data, starting_weights,
 
     results = []
     for test_config in configs_to_test:
-        with DirichletFusion(data_description=data_description,
+        with DirichletFusion(data_description=description,
                              **test_config) as net:
             import_weights_into_network(net, starting_weights)
             net._fit_sufficient_statistic(*sufficient_statistic)
@@ -62,10 +62,9 @@ def fit_and_evaluate(net_config, evaluation_data, starting_weights, _run):
     (reference dirichlet_fusion.py:55-78). No weight re-import needed —
     fit() does not rebuild any graph here."""
     data, measure_set, test_set = split_test_data(evaluation_data)
-    data_description = get_dataset(
-        evaluation_data["dataset"]).get_data_description()
+    description = describe_data(evaluation_data)
 
-    with DirichletFusion(data_description=data_description,
+    with DirichletFusion(data_description=description,
                          **net_config) as net:
         import_weights_into_network(net, starting_weights)
         dirichlet_params = net.fit(DataSource(data, measure_set))

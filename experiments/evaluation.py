@@ -9,7 +9,8 @@ from modular_semantic_segmentation_tpu.utils.sacred_shim import (
 from modular_semantic_segmentation_tpu.models import get_model
 from modular_semantic_segmentation_tpu.datasets import get_dataset
 from modular_semantic_segmentation_tpu.settings import DATA_BASEPATH
-from experiments.utils import ExperimentData, get_observer, load_data
+from experiments.utils import (ExperimentData, data_description,
+                               get_observer, load_data)
 
 
 def evaluate(net, data, print_results=True):
@@ -111,7 +112,7 @@ def also_load_config(modelname, net_config, evaluation_data,
     print(model_config)
     data_cls = get_dataset(evaluation_data["dataset"])
     model = get_model(modelname)
-    with model(data_description=data_cls.get_data_description(),
+    with model(data_description=data_description(evaluation_data),
                **model_config) as net:
         import_weights_into_network(net, starting_weights)
         data = load_data(evaluation_data)
@@ -125,7 +126,7 @@ def all_synthia(modelname, net_config, evaluation_data, starting_weights,
                 _run):
     data_cls = get_dataset(evaluation_data["dataset"])
     model = get_model(modelname)
-    with model(data_description=data_cls.get_data_description(),
+    with model(data_description=data_description(evaluation_data),
                **net_config) as net:
         import_weights_into_network(net, starting_weights)
         measurements = evaluate_on_all_synthia_seqs(net, evaluation_data)
@@ -142,7 +143,7 @@ def main(modelname, net_config, evaluation_data, starting_weights, _run,
     (default 128, the measured break-even — docs/TIMING.md)."""
     data_cls = get_dataset(evaluation_data["dataset"])
     model = get_model(modelname)
-    with model(data_description=data_cls.get_data_description(),
+    with model(data_description=data_description(evaluation_data),
                **net_config) as net:
         import_weights_into_network(net, starting_weights)
         data = load_data(evaluation_data)

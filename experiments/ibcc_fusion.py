@@ -10,7 +10,7 @@ from modular_semantic_segmentation_tpu.utils.sacred_shim import (
     Experiment, apply_backspaces_and_linefeeds)
 from modular_semantic_segmentation_tpu.datasets import get_dataset
 from modular_semantic_segmentation_tpu.models import get_model
-from experiments.utils import get_mongo_observer
+from experiments.utils import data_description, get_mongo_observer
 from experiments.evaluation import import_weights_into_network
 
 ex = Experiment()
@@ -31,7 +31,7 @@ def collect_data(net_config, dataset, starting_weights, save_to, _run):
         model_config.pop("expert_model", None)
         model_config["modality"] = expert
         model_config["prefix"] = net_config["prefixes"][expert]
-        with model(data_description=data.get_data_description(),
+        with model(data_description=data_description(dataset),
                    **model_config) as net:
             import_weights_into_network(
                 net, starting_weights[model_config["prefix"]])

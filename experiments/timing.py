@@ -27,7 +27,7 @@ HEIGHT, WIDTH = 768, 384
 
 DEFAULTS = dict(num_units=64, num_classes=14, repetitions=50,
                 compute_dtype="bfloat16", num_samples=5, dropout_rate=0.2,
-                int8=False)
+                int8=False, height=HEIGHT, width=WIDTH)
 
 
 def _cfg(overrides):
@@ -42,8 +42,10 @@ def _description(num_classes):
              "labels": (None, None)}, num_classes)
 
 
-def _inputs(modalities):
-    shapes = {"rgb": (1, HEIGHT, WIDTH, 3), "depth": (1, HEIGHT, WIDTH, 1)}
+def _inputs(modalities, cfg=None):
+    h = (cfg or DEFAULTS)["height"]
+    w = (cfg or DEFAULTS)["width"]
+    shapes = {"rgb": (1, h, w, 3), "depth": (1, h, w, 1)}
     return {m: np.ones(shapes[m], np.float32) for m in modalities}
 
 
@@ -112,56 +114,62 @@ def _record(_run, name, result):
 
 @ex.command
 def time_rgb_fcn(_run, num_units=None, num_classes=None, repetitions=None,
-                 compute_dtype=None, int8=None):
+                 compute_dtype=None, int8=None,
+                 height=None, width=None):
     cfg = _cfg(locals())
     net = get_model("simple_fcn")(**_expert_config(cfg, "rgb"))
-    _record(_run, "rgb_fcn", _time(net, _inputs(["rgb"]),
+    _record(_run, "rgb_fcn", _time(net, _inputs(["rgb"], cfg),
                                    cfg))
 
 
 @ex.command
 def time_depth_fcn(_run, num_units=None, num_classes=None, repetitions=None,
-                   compute_dtype=None, int8=None):
+                   compute_dtype=None, int8=None,
+                 height=None, width=None):
     cfg = _cfg(locals())
     net = get_model("simple_fcn")(**_expert_config(cfg, "depth"))
-    _record(_run, "depth_fcn", _time(net, _inputs(["depth"]),
+    _record(_run, "depth_fcn", _time(net, _inputs(["depth"], cfg),
                                      cfg))
 
 
 @ex.command
 def time_fusion_fcn(_run, num_units=None, num_classes=None, repetitions=None,
-                    compute_dtype=None, int8=None):
+                    compute_dtype=None, int8=None,
+                 height=None, width=None):
     cfg = _cfg(locals())
     net = get_model("fusion_fcn")(
         data_description=_description(cfg["num_classes"]),
         prefixes={"rgb": "rgb", "depth": "depth"},
         num_units=cfg["num_units"], compute_dtype=cfg["compute_dtype"])
     _record(_run, "fusion_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg))
+            _time(net, _inputs(["rgb", "depth"], cfg), cfg))
 
 
 @ex.command
 def time_average_fcn(_run, num_units=None, num_classes=None,
-                     repetitions=None, compute_dtype=None, int8=None):
+                     repetitions=None, compute_dtype=None, int8=None,
+                 height=None, width=None):
     cfg = _cfg(locals())
     net = get_model("average")(**_fusion_config(cfg))
     _record(_run, "average_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg))
+            _time(net, _inputs(["rgb", "depth"], cfg), cfg))
 
 
 @ex.command
 def time_bayes_fcn(_run, num_units=None, num_classes=None, repetitions=None,
-                   compute_dtype=None, int8=None):
+                   compute_dtype=None, int8=None,
+                 height=None, width=None):
     cfg = _cfg(locals())
     net = get_model("bayes_mix")(**_fusion_config(
         cfg, confusion_matrices=_random_cms(cfg["num_classes"])))
     _record(_run, "bayes_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg))
+            _time(net, _inputs(["rgb", "depth"], cfg), cfg))
 
 
 @ex.command
 def time_bayes_adapnet(_run, num_units=None, num_classes=None,
-                       repetitions=None, compute_dtype=None, int8=None):
+                       repetitions=None, compute_dtype=None, int8=None,
+                 height=None, width=None):
     """Fused Bayes with ADAPNET experts — the expert architecture behind
     the reference's headline quality tables I-III (its Table V timing only
     covered the SimpleFCN family)."""
@@ -170,23 +178,25 @@ def time_bayes_adapnet(_run, num_units=None, num_classes=None,
         cfg, confusion_matrices=_random_cms(cfg["num_classes"]),
         expert_model="adapnet"))
     _record(_run, "bayes_adapnet",
-            _time(net, _inputs(["rgb", "depth"]), cfg))
+            _time(net, _inputs(["rgb", "depth"], cfg), cfg))
 
 
 @ex.command
 def time_bayes_lookup_fcn(_run, num_units=None, num_classes=None,
-                          repetitions=None, compute_dtype=None, int8=None):
+                          repetitions=None, compute_dtype=None, int8=None,
+                 height=None, width=None):
     cfg = _cfg(locals())
     net = get_model("bayes_mix")(**_fusion_config(
         cfg, confusion_matrices=_random_cms(cfg["num_classes"]),
         use_decision_matrix=True))
     _record(_run, "bayes_lookup_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg))
+            _time(net, _inputs(["rgb", "depth"], cfg), cfg))
 
 
 @ex.command
 def time_dirichlet_fcn(_run, num_units=None, num_classes=None,
-                       repetitions=None, compute_dtype=None, int8=None):
+                       repetitions=None, compute_dtype=None, int8=None,
+                 height=None, width=None):
     cfg = _cfg(locals())
     k = cfg["num_classes"]
     rng = np.random.RandomState(0)
@@ -196,19 +206,20 @@ def time_dirichlet_fcn(_run, num_units=None, num_classes=None,
     net = get_model("dirichlet_mix")(**_fusion_config(
         cfg, dirichlet_params=params, sigma=0.2))
     _record(_run, "dirichlet_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg))
+            _time(net, _inputs(["rgb", "depth"], cfg), cfg))
 
 
 @ex.command
 def time_variance_fcn(_run, num_units=None, num_classes=None,
                       repetitions=None, compute_dtype=None,
-                      num_samples=None, dropout_rate=None, int8=None):
+                      num_samples=None, dropout_rate=None, int8=None,
+                 height=None, width=None):
     cfg = _cfg(locals())
     net = get_model("variance")(**_fusion_config(
         cfg, num_samples=cfg["num_samples"],
         dropout_rate=cfg["dropout_rate"]))
     _record(_run, "variance_fcn",
-            _time(net, _inputs(["rgb", "depth"]), cfg))
+            _time(net, _inputs(["rgb", "depth"], cfg), cfg))
 
 
 @ex.command
@@ -224,7 +235,7 @@ def time_adapnet(_run, num_units=None, num_classes=None, repetitions=None,
     kwargs = _expert_config(cfg, modality)
     del kwargs["batch_normalization"]  # AdapNet always batch-normalizes
     net = get_model("adapnet")(**kwargs)
-    _record(_run, f"adapnet_{modality}", _time(net, _inputs([modality]),
+    _record(_run, f"adapnet_{modality}", _time(net, _inputs([modality], cfg),
                                                cfg))
 
 
@@ -287,7 +298,8 @@ def time_train_step(_run, num_units=None, num_classes=None,
 
 @ex.main
 def main(_run, num_units=None, num_classes=None, repetitions=None,
-         compute_dtype=None, int8=None):
+         compute_dtype=None, int8=None,
+                 height=None, width=None):
     """Time every configuration (the full paper Table V sweep)."""
     for cmd in [time_rgb_fcn, time_depth_fcn, time_average_fcn,
                 time_bayes_fcn, time_bayes_lookup_fcn, time_dirichlet_fcn,

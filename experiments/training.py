@@ -11,7 +11,7 @@ from modular_semantic_segmentation_tpu.utils.sacred_shim import (
 from modular_semantic_segmentation_tpu.datasets import get_dataset
 from modular_semantic_segmentation_tpu.models import get_model
 from modular_semantic_segmentation_tpu.settings import EXP_OUT
-from experiments.utils import get_observer
+from experiments.utils import data_description, get_observer
 from experiments.evaluation import evaluate, import_weights_into_network
 
 
@@ -138,7 +138,7 @@ def resume(experiment_id, _run, num_iterations=None):
     output_dir = create_directories(_run._id, ex)
     data_cls = get_dataset(cfg["dataset"]["name"])
     model = get_model(cfg["modelname"])
-    with model(data_description=data_cls.get_data_description(),
+    with model(data_description=data_description(cfg["dataset"]),
                output_dir=output_dir, **cfg["net_config"]) as net:
         data = data_cls(**{k: v for k, v in cfg["dataset"].items()
                            if k != "name"})
@@ -156,7 +156,7 @@ def main(modelname, dataset, net_config, _run):
     output_dir = create_directories(_run._id, ex)
     data_cls = get_dataset(dataset["name"])
     model = get_model(modelname)
-    with model(data_description=data_cls.get_data_description(),
+    with model(data_description=data_description(dataset),
                output_dir=output_dir, **net_config) as net:
         data = data_cls(**{k: v for k, v in dataset.items() if k != "name"})
         train_and_evaluate(net, output_dir, data)

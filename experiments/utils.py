@@ -5,4 +5,4 @@ paths keep working."""
 
 from modular_semantic_segmentation_tpu.utils.experiment import (  # noqa
     ExperimentData, get_observer, get_mongo_observer, load_data,
-    reverse_convert_datatypes)
+    data_description, reverse_convert_datatypes)

@@ -15,14 +15,22 @@ from modular_semantic_segmentation_tpu.models.adapnet import adapnet
 
 
 def test_pipeline(ctx, inputs, prefix, expert_model, num_units, num_classes,
-                  **_):
+                  batch_normalization=False, channel_factor=1.0, **_):
     """Unified expert pipeline: FCN or AdapNet, frozen, + softmax 'prob' and
-    argmax 'classification' (reference basic_fusion_model.py:9-23)."""
+    argmax 'classification' (reference basic_fusion_model.py:9-23).
+
+    ``batch_normalization`` defaults to False like the reference's hardcoded
+    ``batchnorm=False`` (basic_fusion_model.py:17-18) — but can be enabled so
+    experts TRAINED with batch norm transfer bit-exactly into the fusion
+    (eval-mode BN uses the imported moving statistics). The reference could
+    not fuse BN-trained experts at all; its own timing.py:29 carries a
+    'TODO make sure this does not use batchnorm' wart."""
     if expert_model == "adapnet":
         outputs = adapnet(ctx, inputs, prefix, num_units, num_classes)
     elif expert_model == "fcn":
         outputs = fcn(ctx, inputs, prefix, num_units, num_classes,
-                      trainable=False, batchnorm=False)
+                      trainable=False, batchnorm=batch_normalization,
+                      channel_factor=channel_factor)
     else:
         raise UserWarning(f"ERROR: Expert Model {expert_model} not found")
     outputs["prob"] = ll.softmax(outputs["score"])

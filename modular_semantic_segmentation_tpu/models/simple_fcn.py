@@ -18,39 +18,50 @@ from modular_semantic_segmentation_tpu.models.estimator import Estimator
 
 
 def encoder_head(ctx, inputs, prefix, dropout_rate=0.0, trainable=True,
-                 batchnorm=True, dropout_layers=()):
+                 batchnorm=True, dropout_layers=(), channel_factor=1.0):
     """conv1_1 .. pool3 — the encoder up to (exclusive of) the first
     dropout site. With the reference's dropout placements (pool3/pool4/
     conv4_3/conv5_3, simple_fcn.py:49-78) this prefix is DETERMINISTIC,
     so MC-dropout samplers compute it once and fan out stochastic tails
-    (see VarianceFusion)."""
+    (see VarianceFusion).
+
+    ``channel_factor`` scales every VGG16 conv width (64..512) by a
+    constant; 1.0 (the default) is the reference architecture. Sub-1
+    factors give proportionally cheaper experts for single-core CI and
+    small synthetic corpora (tests/test_fusion_gain.py) without touching
+    the layer topology."""
     params = {"trainable": trainable, "batch_normalization": batchnorm,
               "activation": jax.nn.relu}
+    c = lambda w: max(1, int(w * channel_factor))  # noqa: E731
     with ctx.scope(prefix):
         l = {}
-        l["conv1_1"] = ll.conv2d(ctx, inputs, 64, 3, "conv1_1", **params)
-        l["conv1_2"] = ll.conv2d(ctx, l["conv1_1"], 64, 3, "conv1_2", **params)
+        l["conv1_1"] = ll.conv2d(ctx, inputs, c(64), 3, "conv1_1", **params)
+        l["conv1_2"] = ll.conv2d(ctx, l["conv1_1"], c(64), 3, "conv1_2",
+                                 **params)
         l["pool1"] = ll.max_pool2d(ctx, l["conv1_2"], 2, 2)
-        l["conv2_1"] = ll.conv2d(ctx, l["pool1"], 128, 3, "conv2_1", **params)
-        l["conv2_2"] = ll.conv2d(ctx, l["conv2_1"], 128, 3, "conv2_2",
+        l["conv2_1"] = ll.conv2d(ctx, l["pool1"], c(128), 3, "conv2_1",
+                                 **params)
+        l["conv2_2"] = ll.conv2d(ctx, l["conv2_1"], c(128), 3, "conv2_2",
                                  **params)
         l["pool2"] = ll.max_pool2d(ctx, l["conv2_2"], 2, 2)
-        l["conv3_1"] = ll.conv2d(ctx, l["pool2"], 256, 3, "conv3_1", **params)
-        l["conv3_2"] = ll.conv2d(ctx, l["conv3_1"], 256, 3, "conv3_2",
+        l["conv3_1"] = ll.conv2d(ctx, l["pool2"], c(256), 3, "conv3_1",
                                  **params)
-        l["conv3_3"] = ll.conv2d(ctx, l["conv3_2"], 256, 3, "conv3_3",
+        l["conv3_2"] = ll.conv2d(ctx, l["conv3_1"], c(256), 3, "conv3_2",
+                                 **params)
+        l["conv3_3"] = ll.conv2d(ctx, l["conv3_2"], c(256), 3, "conv3_3",
                                  **params)
         l["pool3"] = ll.max_pool2d(ctx, l["conv3_3"], 2, 2)
     return l
 
 
 def encoder_tail(ctx, l, prefix, num_units, dropout_rate=0.0, trainable=True,
-                 batchnorm=True, dropout_layers=()):
+                 batchnorm=True, dropout_layers=(), channel_factor=1.0):
     """pool3 dropout .. 'fused' — the (possibly stochastic) encoder rest.
     ``l`` is the layer dict from :func:`encoder_head`; mutates and
     returns it."""
     params = {"trainable": trainable, "batch_normalization": batchnorm,
               "activation": jax.nn.relu}
+    c = lambda w: max(1, int(w * channel_factor))  # noqa: E731
     with ctx.scope(prefix):
         last_layer = l["pool3"]
         # MC-dropout after pool3/pool4 runs with training=True always
@@ -58,10 +69,11 @@ def encoder_tail(ctx, l, prefix, num_units, dropout_rate=0.0, trainable=True,
         if "pool3" in dropout_layers:
             l["pool3_drop"] = ll.dropout(ctx, l["pool3"], dropout_rate)
             last_layer = l["pool3_drop"]
-        l["conv4_1"] = ll.conv2d(ctx, last_layer, 512, 3, "conv4_1", **params)
-        l["conv4_2"] = ll.conv2d(ctx, l["conv4_1"], 512, 3, "conv4_2",
+        l["conv4_1"] = ll.conv2d(ctx, last_layer, c(512), 3, "conv4_1",
                                  **params)
-        l["conv4_3"] = ll.conv2d(ctx, l["conv4_2"], 512, 3, "conv4_3",
+        l["conv4_2"] = ll.conv2d(ctx, l["conv4_1"], c(512), 3, "conv4_2",
+                                 **params)
+        l["conv4_3"] = ll.conv2d(ctx, l["conv4_2"], c(512), 3, "conv4_3",
                                  **params)
         l["pool4"] = ll.max_pool2d(ctx, l["conv4_3"], 2, 2)
         last_layer = l["pool4"]
@@ -70,10 +82,11 @@ def encoder_tail(ctx, l, prefix, num_units, dropout_rate=0.0, trainable=True,
         if "pool3" in dropout_layers:
             l["pool4_drop"] = ll.dropout(ctx, l["pool4"], dropout_rate)
             last_layer = l["pool4_drop"]
-        l["conv5_1"] = ll.conv2d(ctx, last_layer, 512, 3, "conv5_1", **params)
-        l["conv5_2"] = ll.conv2d(ctx, l["conv5_1"], 512, 3, "conv5_2",
+        l["conv5_1"] = ll.conv2d(ctx, last_layer, c(512), 3, "conv5_1",
                                  **params)
-        l["conv5_3"] = ll.conv2d(ctx, l["conv5_2"], 512, 3, "conv5_3",
+        l["conv5_2"] = ll.conv2d(ctx, l["conv5_1"], c(512), 3, "conv5_2",
+                                 **params)
+        l["conv5_3"] = ll.conv2d(ctx, l["conv5_2"], c(512), 3, "conv5_3",
                                  **params)
 
         conv4_3 = l["conv4_3"]
@@ -97,7 +110,7 @@ def encoder_tail(ctx, l, prefix, num_units, dropout_rate=0.0, trainable=True,
 
 
 def encoder(ctx, inputs, prefix, num_units, dropout_rate=0.0, trainable=True,
-            batchnorm=True, dropout_layers=()):
+            batchnorm=True, dropout_layers=(), channel_factor=1.0):
     """VGG16 image encoder with fusion of conv4_3 and conv5_3 features
     (reference simple_fcn.py:10-87). Returns dict of layer outputs; the
     encoding has key 'fused'. Composed of :func:`encoder_head` (the
@@ -105,10 +118,12 @@ def encoder(ctx, inputs, prefix, num_units, dropout_rate=0.0, trainable=True,
     dropout-bearing rest) — identical layer names and numerics."""
     l = encoder_head(ctx, inputs, prefix, dropout_rate=dropout_rate,
                      trainable=trainable, batchnorm=batchnorm,
-                     dropout_layers=dropout_layers)
+                     dropout_layers=dropout_layers,
+                     channel_factor=channel_factor)
     return encoder_tail(ctx, l, prefix, num_units, dropout_rate=dropout_rate,
                         trainable=trainable, batchnorm=batchnorm,
-                        dropout_layers=dropout_layers)
+                        dropout_layers=dropout_layers,
+                        channel_factor=channel_factor)
 
 
 def decoder(ctx, features, prefix, num_units, num_classes, trainable=True,
@@ -129,11 +144,13 @@ def decoder(ctx, features, prefix, num_units, num_classes, trainable=True,
 
 
 def fcn(ctx, inputs, prefix, num_units, num_classes, trainable=True,
-        dropout_rate=0, dropout_layers=(), batchnorm=True):
+        dropout_rate=0, dropout_layers=(), batchnorm=True,
+        channel_factor=1.0):
     """Full FCN: encoder + decoder (reference simple_fcn.py:137-170)."""
     layers = encoder(ctx, inputs, prefix, num_units,
                      dropout_rate=dropout_rate, trainable=trainable,
-                     batchnorm=batchnorm, dropout_layers=dropout_layers)
+                     batchnorm=batchnorm, dropout_layers=dropout_layers,
+                     channel_factor=channel_factor)
     layers.update(decoder(
         ctx, layers["fused"], prefix, num_units, num_classes,
         trainable=trainable, batchnorm=batchnorm,
@@ -167,7 +184,8 @@ class SimpleFCN(Estimator):
         return fcn(ctx, x, self.prefix, self.config["num_units"],
                    self.config["num_classes"],
                    trainable=self.config["train_encoder"],
-                   batchnorm=self.config["batch_normalization"])
+                   batchnorm=self.config["batch_normalization"],
+                   channel_factor=self.config.get("channel_factor", 1.0))
 
     def _train_outputs(self, ctx, batch):
         layers = self._fcn(ctx, batch[self.modality])

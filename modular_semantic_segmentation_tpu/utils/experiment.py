@@ -53,6 +53,23 @@ def load_data(data_config):
     return get_dataset(name)(**params)
 
 
+def data_description(data_config):
+    """Data description for the dataset named in a data_config dict,
+    honoring its optional ``num_classes`` override.
+
+    The reference's ``get_data_description(num_classes=...)`` escape hatch
+    (reference data_baseclass.py:46-48) exists exactly for configs that
+    change the class count, but its CLIs never wired it up — every
+    experiment called the classmethod bare, so a dataset configured with a
+    non-default class count silently built a model with the default. All
+    our experiment entry points route through this helper instead.
+    """
+    from modular_semantic_segmentation_tpu.datasets import get_dataset
+    name = data_config.get("dataset", data_config.get("name"))
+    return get_dataset(name).get_data_description(
+        num_classes=data_config.get("num_classes"))
+
+
 def reverse_convert_datatypes(data):
     """Undo the JSON encoding of numpy values in stored records
     (reference experiments/utils.py:40-58)."""
@@ -81,8 +98,16 @@ class ExperimentData:
             self.exp_path = path.join(folder, str(exp_id))
             with open(path.join(self.exp_path, "run.json")) as f:
                 record = json.load(f)
-            with open(path.join(self.exp_path, "info.json")) as f:
-                record["info"] = json.load(f)
+            # real-sacred FileStorageObserver only writes info.json when
+            # the run set any info (sacred/observers/file_storage.py), and
+            # records published by the reference's authors follow that
+            # layout — keep whatever run.json already carries as fallback
+            info_path = path.join(self.exp_path, "info.json")
+            if path.exists(info_path):
+                with open(info_path) as f:
+                    record["info"] = json.load(f)
+            else:
+                record.setdefault("info", {})
             with open(path.join(self.exp_path, "config.json")) as f:
                 record["config"] = json.load(f)
             cout = path.join(self.exp_path, "cout.txt")
@@ -92,12 +117,19 @@ class ExperimentData:
         elif f"{exp_id}.zip" in listdir(folder):
             self.zipfile = path.join(folder, f"{exp_id}.zip")
             with zipfile.ZipFile(self.zipfile) as archive:
+                names = archive.namelist()
                 record = json.loads(archive.read("run.json").decode("utf8"))
-                record["info"] = json.loads(
-                    archive.read("info.json").decode("utf8"))
+                if "info.json" in names:
+                    record["info"] = json.loads(
+                        archive.read("info.json").decode("utf8"))
+                else:
+                    record.setdefault("info", {})
                 record["config"] = json.loads(
                     archive.read("config.json").decode("utf8"))
-                self.artifacts = archive.namelist()
+                if "cout.txt" in names:
+                    record["captured_out"] = archive.read(
+                        "cout.txt").decode("utf8", errors="replace")
+                self.artifacts = names
         else:
             raise UserWarning(f"Specified experiment {exp_id} not found.")
         self.record = record
@@ -116,22 +148,42 @@ class ExperimentData:
         return archive.open(name)
 
     def get_summary(self, tag):
-        """pd.Series of a scalar summary tag from the run's
-        summaries.jsonl (our TF-events replacement)."""
+        """pd.Series of a scalar summary tag from the run's stored
+        training curves.
+
+        Reads our summaries.jsonl when present; otherwise falls back to
+        the reference's TF event files (the layout of its published
+        experimental_data.tar.gz runs, reference experiments/utils.py:
+        130-149) via the pure-Python reader in utils/tfevents.py — no
+        TensorFlow required."""
         from pandas import Series
         search = [a for a in self.artifacts if "summaries" in a]
-        if not search:
+        if search:
+            steps, values = [], []
+            fobj = self.get_artifact(search[0])
+            lines = (open(fobj) if isinstance(fobj, str) else fobj)
+            for line in lines:
+                if isinstance(line, bytes):
+                    line = line.decode("utf8")
+                record = json.loads(line)
+                if tag in record:
+                    steps.append(record["step"])
+                    values.append(record[tag])
+            return Series(values, index=steps)
+        events = [a for a in self.artifacts if "events" in a]
+        if not events:
             raise UserWarning("ERROR: Could not find summary file")
+        from modular_semantic_segmentation_tpu.utils.tfevents import \
+            iter_scalar_events
+        fobj = self.get_artifact(events[0])
         steps, values = [], []
-        fobj = self.get_artifact(search[0])
-        lines = (open(fobj) if isinstance(fobj, str) else fobj)
-        for line in lines:
-            if isinstance(line, bytes):
-                line = line.decode("utf8")
-            record = json.loads(line)
-            if tag in record:
-                steps.append(record["step"])
-                values.append(record[tag])
+        if isinstance(fobj, str):
+            fobj = open(fobj, "rb")
+        with fobj:
+            for event in iter_scalar_events(fobj):
+                if event.tag == tag:
+                    steps.append(event.step)
+                    values.append(event.simple_value)
         return Series(values, index=steps)
 
     def get_weights(self):

@@ -127,3 +127,89 @@ def test_report_timing_table(record_storage):
     assert table.loc["bayes_fcn", "speedup"] == pytest.approx(
         0.0461 / 0.008)
     assert np.isnan(table.loc["custom_thing"].get("speedup", np.nan))
+
+
+def _write_reference_layout_run(storage, run_id):
+    """A run dir in the REFERENCE's published layout (real sacred 0.7
+    FileStorageObserver + TF event file): no info.json, no summaries.jsonl,
+    TF1 simple_value events, npz weights artifact
+    (reference experiments/utils.py:80-101,130-165)."""
+    import tensorflow as tf
+
+    run_dir = storage / str(run_id)
+    os.makedirs(run_dir)
+    steps = [0, 100, 200, 300]
+    losses = [2.0, 1.2, 0.7, 0.4]
+    with tf.compat.v1.Graph().as_default():  # TF1 writer needs graph mode
+        writer = tf.compat.v1.summary.FileWriter(str(run_dir))
+        for step, loss in zip(steps, losses):
+            summary = tf.compat.v1.Summary(value=[
+                tf.compat.v1.Summary.Value(tag="loss", simple_value=loss),
+                tf.compat.v1.Summary.Value(tag="accuracy",
+                                           simple_value=1.0 - loss / 4)])
+            writer.add_summary(summary, global_step=step)
+        writer.close()
+    events_file = next(f for f in os.listdir(run_dir) if "events" in f)
+    weights = {"rgb/conv1_1/kernel": np.zeros((3, 3, 3, 4), np.float32)}
+    np.savez(run_dir / "SimpleFCN_weights_40000.npz", **weights)
+    with open(run_dir / "run.json", "w") as f:
+        json.dump({
+            "artifacts": [events_file, "SimpleFCN_weights_40000.npz"],
+            "command": "main", "status": "COMPLETED",
+            "experiment": {"name": "training",
+                           "mainfile": "experiments/training.py"},
+            "start_time": "2018-03-02T10:00:00",
+            "stop_time": "2018-03-02T16:00:00", "resources": [],
+            "host": {"hostname": "ref-host"}}, f)
+    with open(run_dir / "config.json", "w") as f:
+        json.dump({"modelname": "simple_fcn", "num_iterations": 40000,
+                   "dataset": {"name": "synthia", "batchsize": 4},
+                   "net_config": {"num_units": 64, "modality": "rgb",
+                                  "prefix": "rgb"},
+                   "seed": 42}, f)
+    with open(run_dir / "cout.txt", "w") as f:
+        f.write("INFO: Start training\n")
+    return steps, losses
+
+
+def test_reference_layout_record_loads(record_storage):
+    """A run stored in the reference's exact FileStorage layout (real
+    sacred, TF event summaries, no info.json) round-trips through
+    get_record / get_summary / get_weights — the published
+    experimental_data.tar.gz runs replay without TensorFlow."""
+    from experiments.utils import ExperimentData
+    steps, losses = _write_reference_layout_run(record_storage, 11)
+
+    exp = ExperimentData(11)
+    record = exp.get_record()
+    assert record["status"] == "COMPLETED"
+    assert record["config"]["modelname"] == "simple_fcn"
+    assert record["info"] == {}  # no info.json: defaulted, not an error
+    assert record["captured_out"].startswith("INFO")
+
+    # the TF event file parses through the pure-python reader
+    series = exp.get_summary("loss")
+    assert list(series.index) == steps
+    np.testing.assert_allclose(series.values, losses, rtol=1e-6)
+    series2 = exp.get_summary("accuracy")
+    np.testing.assert_allclose(series2.values,
+                               [1.0 - l / 4 for l in losses], rtol=1e-6)
+
+    weights_path = exp.get_weights()
+    assert "SimpleFCN_weights_40000.npz" in weights_path
+    assert "rgb/conv1_1/kernel" in np.load(weights_path)
+
+
+def test_reference_layout_zip_roundtrip(record_storage, tmp_path):
+    """dump() of a reference-layout run produces a zip the zip backend
+    reads back, including TF-event get_summary."""
+    import shutil
+    from experiments.utils import ExperimentData
+    steps, losses = _write_reference_layout_run(record_storage, 12)
+    out = ExperimentData(12).dump(str(tmp_path / "dumped"))
+    shutil.copy(out, record_storage / "99.zip")
+    exp = ExperimentData(99)
+    assert exp.get_record()["config"]["num_iterations"] == 40000
+    series = exp.get_summary("loss")
+    assert list(series.index) == steps
+    np.testing.assert_allclose(series.values, losses, rtol=1e-6)

@@ -50,7 +50,11 @@ def training_run(storage):
                  "net_config.num_units=4", "net_config.batchsize=2",
                  "net_config.learning_rate=0.01"],
              storage)
-    return 1
+    # the id is assigned by the observer (tests that run other CLIs first
+    # in this module-scoped storage shift it)
+    return max(int(d) for d in
+               os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+               if d.isdigit())
 
 
 def test_training_cli_produces_record(storage, training_run):
@@ -304,3 +308,44 @@ def test_dirichlet_fusion_cli(storage, training_run):
     assert "counts.npz" in os.listdir(run_dir)
     counts = np.load(os.path.join(run_dir, "counts.npz"))
     assert set(counts.files) == {"rgb", "depth", "class_counts"}
+
+
+def test_timing_cli_smoke(storage):
+    """experiments.timing time_rgb_fcn at a tiny shape: the Table-V
+    harness's config plumbing, model build, timer and record path all
+    execute (no timing quality asserted at this size)."""
+    result = _run_cli(
+        "experiments.timing",
+        ["time_rgb_fcn", "with", "num_units=2", "num_classes=3",
+         "repetitions=2", "height=64", "width=64"],
+        storage, timeout=1200)
+    assert "s/frame pipelined" in result.stdout
+    run_id = max(int(d) for d in
+                 os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+                 if d.isdigit())
+    info = json.load(open(os.path.join(
+        storage["EXPERIMENT_STORAGE_FOLDER"], str(run_id), "info.json")))
+    assert "pipelined_mean_s" in info["timings"]["rgb_fcn"]
+
+
+def test_ibcc_fusion_cli_smoke(storage, training_run, tmp_path):
+    """experiments.ibcc_fusion dumps per-expert predictions + ground truth
+    for external IBCC analysis (reference ibcc_fusion.py — whose observer
+    import had rotted in the reference; this locks ours)."""
+    save_to = str(tmp_path / "ibcc_out")
+    _run_cli(
+        "experiments.ibcc_fusion",
+        ["with"] + [
+            "dataset.name=unittest", "dataset.height=32",
+            "dataset.width=32", "dataset.num_train=6",
+            "dataset.num_measure=2", "dataset.num_test=2",
+            "net_config.num_units=4", "net_config.batchsize=2",
+            "net_config.expert_model=simple_fcn",
+            'net_config.prefixes={"rgb": "rgb"}',
+            f'starting_weights={{"rgb": {training_run}}}',
+            f"save_to={save_to}"],
+        storage, timeout=1200)
+    dumped = np.load(os.path.join(save_to, "predictions.npz"))
+    assert set(dumped.files) == {"measure_rgb", "test_rgb",
+                                 "measure_gt", "test_gt"}
+    assert dumped["test_rgb"].shape == dumped["test_gt"].shape
