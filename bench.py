@@ -51,29 +51,22 @@ def build_flagship(height=768, width=384, num_classes=14, num_units=64,
     return net, batch
 
 
-def main():
+def measure_throughput(net, batch, rng):
+    """Pipelined serving throughput (fps) of `net` at the benchmark shape.
+
+    Serving program: 4 statically-unrolled batch-1 forwards per dispatch
+    (serving.InferenceServer — the library's production serving path).
+    Each frame still runs the exact batch-1 inference graph (the
+    reference's Table V semantics); unrolling only amortizes the
+    per-dispatch host/RPC cost, which otherwise costs ~0.9 ms/frame on
+    this tunneled device (measured: per-call 6.65 ms/frame vs unroll-4
+    5.77 — the device-time bound from the docs/TIMING.md roofline).
+    lax.map and true batch-8 were both measured slower (10.8 / 14.8
+    ms/frame): the map loop serializes without overlap, and large-batch
+    spatial tiling degrades at these shapes.
+    """
     import jax
 
-    net, batch = build_flagship()
-    rng = jax.random.PRNGKey(0)
-
-    # MSSTPU_BENCH_INT8=1 measures the int8 PTQ serving path instead
-    # (models/quantize.py; +13% device fps, docs/TIMING.md). The default
-    # stays bf16 — the same numerics story as the reference's float
-    # inference that the vs_baseline ratio compares against.
-    if os.environ.get("MSSTPU_BENCH_INT8"):
-        net.quantize_for_serving(batch, num_batches=1)
-
-    # Serving program: 4 statically-unrolled batch-1 forwards per dispatch
-    # (serving.InferenceServer — the library's production serving path).
-    # Each frame still runs the exact batch-1 inference graph (the
-    # reference's Table V semantics); unrolling only amortizes the
-    # per-dispatch host/RPC cost, which otherwise costs ~0.9 ms/frame on
-    # this tunneled device (measured: per-call 6.65 ms/frame vs unroll-4
-    # 5.77 — the device-time bound from the docs/TIMING.md roofline).
-    # lax.map and true batch-8 were both measured slower (10.8 / 14.8
-    # ms/frame): the map loop serializes without overlap, and large-batch
-    # spatial tiling degrades at these shapes.
     from modular_semantic_segmentation_tpu.serving import InferenceServer
     program = InferenceServer(net, unroll=4).group_program
     unroll = lambda v, bs: program(v, bs, rng)  # noqa: E731
@@ -104,14 +97,40 @@ def main():
     outs = [unroll(variables, groups[i % 2]) for i in range(calls)]
     np.asarray(outs[-1][-1])
     mean_spf = (time.perf_counter() - start) / (calls * per_call)
-    fps = 1.0 / mean_spf
+    return 1.0 / mean_spf
 
-    print(json.dumps({
-        "metric": "bayes_fused_rgbd_fps_768x384_1chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / (1.0 / REFERENCE_BAYES_FUSED_SPF), 2),
-    }))
+
+def main():
+    import jax
+
+    net, batch = build_flagship()
+    rng = jax.random.PRNGKey(0)
+
+    # Headline stays bf16 — the same numerics story as the reference's
+    # float inference that vs_baseline compares against. The int8 PTQ
+    # serving path (models/quantize.py; bounded accuracy delta locked by
+    # tests/test_quantized_serving.py) is measured alongside and recorded
+    # in the same JSON line (round-2 verdict item 7). MSSTPU_BENCH_INT8=1
+    # flips the headline to int8.
+    int8_headline = bool(os.environ.get("MSSTPU_BENCH_INT8"))
+    ref_fps = 1.0 / REFERENCE_BAYES_FUSED_SPF
+
+    result = {"metric": "bayes_fused_rgbd_fps_768x384_1chip",
+              "unit": "frames/s"}
+    if not int8_headline:
+        fps_bf16 = measure_throughput(net, batch, rng)
+        result.update(value=round(fps_bf16, 2),
+                      vs_baseline=round(fps_bf16 / ref_fps, 2))
+    net.quantize_for_serving(batch, num_batches=1)
+    fps_int8 = measure_throughput(net, batch, rng)
+    if int8_headline:
+        result["metric"] = "bayes_fused_rgbd_int8_fps_768x384_1chip"
+        result.update(value=round(fps_int8, 2),
+                      vs_baseline=round(fps_int8 / ref_fps, 2))
+    else:
+        result.update(int8_fps=round(fps_int8, 2),
+                      int8_vs_baseline=round(fps_int8 / ref_fps, 2))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

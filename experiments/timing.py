@@ -296,6 +296,55 @@ def time_train_step(_run, num_units=None, num_classes=None,
             else f"train_step_{model}", result)
 
 
+@ex.command
+def time_offline_eval(_run, num_units=None, num_classes=None,
+                      compute_dtype=None, int8=None, batchsize=8,
+                      num_frames=100, height=HEIGHT, width=WIDTH):
+    """Offline evaluation throughput: img/s for a full score() over a
+    synthetic corpus, HOST LOADER INCLUDED — the reference's evaluation
+    loop equivalent (xview/models/base_model.py:294-331), complementing
+    the serving-latency rows. Batch 8 is the measured break-even for the
+    batched eval path (docs/TIMING.md)."""
+    import time
+
+    from modular_semantic_segmentation_tpu.datasets.unittest_data import \
+        UnittestData
+
+    cfg = _cfg(dict(num_units=num_units, num_classes=num_classes,
+                    compute_dtype=compute_dtype, int8=int8))
+    k = min(cfg["num_classes"], 8)
+    data = UnittestData(height=height, width=width, num_train=4,
+                        num_measure=4, num_test=num_frames, num_classes=k)
+    kwargs = _expert_config(cfg, "rgb")
+    kwargs["data_description"] = UnittestData.get_data_description(
+        num_classes=k)
+    net = get_model("simple_fcn")(batchsize=batchsize, **kwargs)
+    if cfg.get("int8"):
+        net.quantize_for_serving(data.get_measureset(), num_batches=1)
+    # Pre-materialize the corpus: the synthetic generator costs ~0.4 s per
+    # 768x384 frame on this 1-core host and is NOT the production loader
+    # (that is PNG decode + native augmentation, measured separately by
+    # scripts/loader_bench.py at ~64 img/s/core). This row measures the
+    # evaluation loop itself — batching, padding, host->device transfer,
+    # device compute, on-device confusion accumulation.
+    corpus = data.get_testset(tf_dataset=False)
+    # compact uint8 transfer (the production path, estimator._preprocess
+    # promotes integers to f32 in-graph): quarter the H2D bytes for rgb
+    corpus["rgb"] = corpus["rgb"].astype(np.uint8)
+    net.score(corpus, max_iterations=1)  # compile + warm cache
+    start = time.perf_counter()
+    measures, _ = net.score(corpus)
+    wall = time.perf_counter() - start
+    result = {"s_total": wall, "img_per_s": num_frames / wall,
+              "num_frames": num_frames, "batchsize": batchsize,
+              "int8": bool(cfg.get("int8"))}
+    print(f"offline eval: {num_frames} frames in {wall:.2f} s = "
+          f"{num_frames / wall:.1f} img/s (batch {batchsize}, "
+          f"pre-materialized corpus; host PNG loader is a separate row, "
+          f"loader_bench)")
+    _record(_run, "offline_eval", result)
+
+
 @ex.main
 def main(_run, num_units=None, num_classes=None, repetitions=None,
          compute_dtype=None, int8=None,

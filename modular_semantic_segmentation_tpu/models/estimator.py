@@ -396,8 +396,21 @@ class Estimator:
         num_classes = self.config["num_classes"]
         total = jnp.zeros((num_classes, num_classes), jnp.float32)
         count = 0
-        for batch, valid in iterate_batches(data, self.config["batchsize"],
-                                            pad=True, pad_label=-1):
+        # un-distributed path: double-buffered H2D prefetch (the transfer of
+        # batch i+1 overlaps the eval of batch i — utils/data_io.py). Mesh-
+        # distributed steps keep host arrays: device-committed inputs must
+        # not be fed to sharded programs.
+        undistributed = (getattr(self, "_mesh", None) is None
+                         and getattr(self, "_redistribute", None) is None)
+        if undistributed:
+            from modular_semantic_segmentation_tpu.utils.data_io import \
+                prefetch_eval_batches
+            batches = prefetch_eval_batches(data, self.config["batchsize"],
+                                            pad_label=-1)
+        else:
+            batches = iterate_batches(data, self.config["batchsize"],
+                                      pad=True, pad_label=-1)
+        for batch, valid in batches:
             out = self._jit_eval_step(self.variables, batch, self._next_rng())
             total = total + out["confusion_matrix"]
             count += 1
@@ -408,7 +421,8 @@ class Estimator:
         return measures, confusion
 
     # ---------------------------------------------------------- quantization
-    def quantize_for_serving(self, data, num_batches=8, min_channels=128):
+    def quantize_for_serving(self, data, num_batches=8, min_channels=128,
+                             percentile=100.0):
         """Enable int8 post-training-quantized inference (models/quantize.py).
 
         Calibrates per-conv activation scales on a few batches of ``data``
@@ -425,7 +439,8 @@ class Estimator:
                 isinstance(v, float) for v in data.values()):
             scales = data
         else:
-            amax = q.calibrate_amax(self, data, num_batches=num_batches)
+            amax = q.calibrate_amax(self, data, num_batches=num_batches,
+                                    percentile=percentile)
             scales = q.select_scales(amax, self.variables,
                                      min_channels=min_channels)
         if not scales:

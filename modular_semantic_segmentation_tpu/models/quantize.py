@@ -35,9 +35,10 @@ from modular_semantic_segmentation_tpu.ops.variables import Ctx
 from modular_semantic_segmentation_tpu.utils.data_io import iterate_batches
 
 
-def calibrate_amax(net, data, num_batches=8):
+def calibrate_amax(net, data, num_batches=8, percentile=100.0):
     """Run ``num_batches`` of ``data`` through the test network recording
-    each conv input's absolute max.
+    each conv input's absolute max (or the given percentile of |input|
+    per batch; the estimate across batches is always the running max).
 
     Returns a dict full-scope-name -> float amax (e.g.
     ``'rgb/conv4_1/input_amax' -> 5.31``).
@@ -47,7 +48,8 @@ def calibrate_amax(net, data, num_batches=8):
     @jax.jit
     def one(variables, batch):
         ctx = Ctx(variables, train=False, rng=rng,
-                  compute_dtype=net.compute_dtype, calibrate=True)
+                  compute_dtype=net.compute_dtype, calibrate=True,
+                  calibrate_percentile=percentile)
         net._test_outputs(ctx, net._preprocess(batch))
         return ctx.amax
 

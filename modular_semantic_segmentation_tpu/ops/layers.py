@@ -193,10 +193,15 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
         quant_key = ctx.full_name("input_amax")
         if ctx.calibrate:
             # PTQ calibration pass (models/quantize.py): record the input's
-            # absolute max, keyed by this conv's scope. Running max across
-            # invocations — MC-sampling models (variance_fusion) re-enter
-            # the same conv scope several times per forward.
-            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            # absolute max (or a percentile of |input|, clipping outliers
+            # at the cost of saturating them later), keyed by this conv's
+            # scope. Running max across invocations — MC-sampling models
+            # (variance_fusion) re-enter the same conv scope several times
+            # per forward.
+            q = getattr(ctx, "calibrate_percentile", 100.0)
+            absx = jnp.abs(x.astype(jnp.float32))
+            amax = (jnp.max(absx) if q >= 100.0
+                    else jnp.percentile(absx, q))
             if quant_key in ctx.amax:
                 amax = jnp.maximum(ctx.amax[quant_key], amax)
             ctx.amax[quant_key] = amax

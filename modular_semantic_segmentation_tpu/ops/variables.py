@@ -45,7 +45,8 @@ class Ctx:
 
     def __init__(self, variables=None, train=False, rng=None, init=False,
                  compute_dtype=jnp.float32, abstract=False,
-                 spatial_axis=None, act_scales=None, calibrate=False):
+                 spatial_axis=None, act_scales=None, calibrate=False,
+                 calibrate_percentile=100.0):
         self.variables = variables if variables is not None else {}
         # mesh axis name when running height-sharded under shard_map
         # (parallel/spatial.py): convs/deconvs exchange row halos
@@ -60,6 +61,9 @@ class Ctx:
         self.compute_dtype = compute_dtype
         self.act_scales = act_scales
         self.calibrate = calibrate
+        # percentile of |input| recorded during calibration; 100 = max-abs
+        # (the standard PTQ recipe), lower values clip outliers
+        self.calibrate_percentile = calibrate_percentile
         self.amax = {}
         self._rng = rng
         self._scope = []

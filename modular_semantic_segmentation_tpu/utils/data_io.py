@@ -120,3 +120,36 @@ def to_device_prefetched(batch_iterator, buffer_size=2):
             yield item
 
     return consumer()
+
+
+def prefetch_eval_batches(data, batchsize, pad_label=-1, buffer_size=2):
+    """Double-buffered (device batch, valid count) stream for score().
+
+    Same contract as ``iterate_batches(pad=True)`` but a background thread
+    pads + issues ``jax.device_put`` ``buffer_size`` batches ahead, so the
+    H2D transfer of batch i+1 overlaps the device compute of batch i. On a
+    tunneled device (30 ms RTT) this roughly doubles offline-evaluation
+    throughput (docs/TIMING.md offline_eval row); on local PCIe/HBM hosts
+    it hides the transfer entirely. Only used for the un-distributed eval
+    path — committed single-device arrays must not be fed to mesh-sharded
+    steps.
+    """
+    q = queue.Queue(maxsize=buffer_size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in _as_batch_iterator(data, batchsize):
+                batch, valid = _pad_batch(batch, batchsize, pad_label)
+                q.put(({k: jax.device_put(np.asarray(v))
+                        for k, v in batch.items()}, valid))
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -44,7 +44,7 @@ SEGMENTS = [
 ]
 
 
-def time_conv(h, w, cin, cout, iters=30):
+def time_conv(h, w, cin, cout, iters=100):
     # identical shapes share one measurement (conv3_2==conv3_3 etc.) —
     # each device_time_fn costs two loop-program compiles over the tunnel
     key = (h, w, cin, cout)
@@ -58,7 +58,7 @@ def time_conv(h, w, cin, cout, iters=30):
             x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.bfloat16)
 
-    _CACHE[key] = device_time_fn(conv, x, k, iters=iters, repetitions=3)
+    _CACHE[key] = device_time_fn(conv, x, k, iters=iters, repetitions=5)
     return _CACHE[key]
 
 

@@ -76,6 +76,7 @@ def test_bayes_fusion(setup):
 
 
 @pytest.mark.parametrize("prior", ["uniform", 0.5])
+@pytest.mark.slow
 def test_bayes_fusion_priors(setup, prior):
     data, weights, cms = setup
     net = get_model("bayes_mix")(
@@ -123,6 +124,7 @@ def test_variance_fusion(setup):
     assert (np.asarray(var) >= 0).all()
 
 
+@pytest.mark.slow
 def test_variance_fusion_batched_samples_are_exact(setup):
     """The N stochastic tails run as ONE batched tail pass
     (variance_fusion.py); at dropout_rate=0 every batched sample must
@@ -162,6 +164,7 @@ def test_uncertainty_dirichlet_fusion(setup):
     assert float(mix.max()) <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_three_expert_fusion():
     """The fusion stack is E-ary, not hard-coded to the paper's two
     experts: three modalities (rgb, depth, ir) fuse through Bayes and

@@ -338,6 +338,7 @@ def _tf_adapnet(o, x, prefix, num_units, num_classes):
     return l
 
 
+@pytest.mark.slow
 def test_adapnet_train_step_golden_parity(tmp_path):
     """AdapNet training-step golden parity vs the TF1 GradientTape oracle.
 

@@ -161,3 +161,40 @@ def test_quantized_serving_preserves_distribution(trained_fcn):
         net.dequantize_serving()
         net._mesh = None
         net._jit_eval_step = jax.jit(net._eval_step)
+
+
+def test_calibration_percentile_clips_outliers():
+    """percentile < 100 clips rare outliers out of the activation scale
+    (calibrate_percentile, ops/layers.py conv2d calibration branch): a
+    single huge spike dominates the max-abs scale but not the 99th
+    percentile."""
+    x = np.ones((1, 8, 8, 8), np.float32)
+    x[0, 0, 0, 0] = 1000.0  # one outlier in 512 values
+    x = jnp.asarray(x)
+
+    def net(ctx, x):
+        return layers.conv2d(ctx, x, 4, 3, "convP", activation=None,
+                             use_bias=False)
+
+    variables, _ = init_variables(net, jax.random.PRNGKey(0), x)
+    ctx_max = Ctx(variables, calibrate=True)
+    net(ctx_max, x)
+    ctx_p99 = Ctx(variables, calibrate=True, calibrate_percentile=99.0)
+    net(ctx_p99, x)
+    assert float(ctx_max.amax["convP/input_amax"]) == pytest.approx(1000.0)
+    assert float(ctx_p99.amax["convP/input_amax"]) == pytest.approx(1.0)
+
+    # and the percentile plumbs through the model-level entry point
+    from modular_semantic_segmentation_tpu.datasets import get_dataset
+    data = get_dataset("unittest")(height=32, width=32, num_train=4,
+                                   num_measure=2, num_test=2, batchsize=2)
+    model = get_model("simple_fcn")(
+        data_description=data.get_data_description(), prefix="rgb",
+        modality="rgb", num_units=4, batchsize=2)
+    s_max = model.quantize_for_serving(data.get_measureset(), num_batches=1,
+                                       min_channels=64)
+    model.dequantize_serving()
+    s_p99 = model.quantize_for_serving(data.get_measureset(), num_batches=1,
+                                       min_channels=64, percentile=99.0)
+    assert set(s_p99) == set(s_max)
+    assert all(s_p99[k] <= s_max[k] + 1e-9 for k in s_max)
