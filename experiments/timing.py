@@ -328,9 +328,12 @@ def time_offline_eval(_run, num_units=None, num_classes=None,
     # evaluation loop itself — batching, padding, host->device transfer,
     # device compute, on-device confusion accumulation.
     corpus = data.get_testset(tf_dataset=False)
-    # compact uint8 transfer (the production path, estimator._preprocess
-    # promotes integers to f32 in-graph): quarter the H2D bytes for rgb
+    # compact transfer (the production path, DataSource(compact_transfer=
+    # True)): uint8 rgb (estimator._preprocess promotes to f32 in-graph)
+    # and int8 labels (confusion matrix widens on device) — quarter the
+    # H2D bytes of both, the offline-eval bottleneck on this link
     corpus["rgb"] = corpus["rgb"].astype(np.uint8)
+    corpus["labels"] = corpus["labels"].astype(np.int8)
     net.score(corpus, max_iterations=1)  # compile + warm cache
     start = time.perf_counter()
     measures, _ = net.score(corpus)

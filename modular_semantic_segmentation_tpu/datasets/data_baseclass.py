@@ -11,8 +11,9 @@ lazy, picklable view over an item list that produces NumPy batch dicts; the
 Estimator wraps it with device prefetch (utils/data_io.py).
 """
 
+import random
+
 import numpy as np
-from random import shuffle
 from sklearn.model_selection import train_test_split
 
 from modular_semantic_segmentation_tpu.datasets.augmentation import \
@@ -60,7 +61,15 @@ class DataSource:
         for m in self.modalities:
             first = blobs[0][m]
             if m == "labels":
-                batch[m] = np.stack([b[m] for b in blobs]).astype("int32")
+                # int8 labels under compact transfer: every driver has
+                # num_classes <= 127 and the only negative sentinel is the
+                # void/pad -1; the confusion matrix widens to int32 on
+                # device (ops/metrics.py:28), so this only shrinks the
+                # H2D bytes 4x (the link is the offline-eval bottleneck,
+                # docs/TIMING.md).
+                dtype = ("int8" if self.compact_transfer
+                         and self._dataset.num_classes <= 127 else "int32")
+                batch[m] = np.stack([b[m] for b in blobs]).astype(dtype)
             elif first.dtype == np.uint8 and self.compact_transfer:
                 batch[m] = np.stack([b[m] for b in blobs])
             elif first.dtype == np.uint8:
@@ -152,7 +161,14 @@ class DataBaseclass(DataWrapper):
         self.modalities = list(self._data_shape_description.keys())
         self.labelinfo = labelinfo
         self.print_info = info
-        shuffle(self.trainset)
+        # The reference shuffles the trainset with the UNSEEDED stdlib rng
+        # here (data_baseclass.py:31) — pure entropy that made every run's
+        # training trajectory irreproducible. Deliberate deviation: seed
+        # the shuffle (training batches are re-shuffled per epoch by the
+        # model-seeded batch rng anyway, so nothing is lost), which makes
+        # dataset construction — and therefore whole CLI pipelines —
+        # deterministic end to end.
+        random.Random(VALIDATION_SPLIT_SEED).shuffle(self.trainset)
 
     @classmethod
     def get_data_description(cls, num_classes=None):

@@ -33,6 +33,11 @@ class DirichletFusion(FusionModel):
         prefixes: dict {modality: prefix} of the experts.
         sigma: Dirichlet temperature.
         delta, beta: EM regularizers (see ops/dirichlet_estimation.py).
+        estimator: 'differentiation' (default — the penalized contrastive
+            solver the reference imports, dirichlet_mix.py:9) |
+            'estimation' (the alternate Sklar solver without the negative
+            statistic, reference dirichlet_mix.py:8) | 'fixedpoint' |
+            'meanprecision' (Minka fastfit, reference dirichlet_mix.py:6-7).
         class_prior: 'data' | 'uniform' | float.
         measurement_exp / dirichlet_params: preload fitted parameters;
             otherwise call fit() before inference
@@ -42,7 +47,7 @@ class DirichletFusion(FusionModel):
     def __init__(self, output_dir=None, **config):
         standard_config = {"learning_rate": 0.0, "sigma": 1.0,
                            "class_prior": "data", "delta": 1e-2,
-                           "beta": 1e-2}
+                           "beta": 1e-2, "estimator": "differentiation"}
         standard_config.update(config)
         # reference API accepts 'modalities' with prefix == modality name
         # (dirichlet_mix.py:62, 98)
@@ -153,8 +158,31 @@ class DirichletFusion(FusionModel):
 
     def _fit_sufficient_statistic(self, counts, class_counts):
         """Per-class Dirichlet EM on the host
-        (reference dirichlet_mix.py:207-257)."""
+        (reference dirichlet_mix.py:207-257). The solver is selected by
+        config['estimator'] — the reference keeps all four importable
+        (dirichlet_mix.py:6-9) but only 'differentiation' wired in."""
+        import modular_semantic_segmentation_tpu.ops.dirichlet_estimation \
+            as de
+
         num_classes = self.config["num_classes"]
+        estimator = self.config.get("estimator", "differentiation")
+
+        def solve(ss, neg_ss, n_obs):
+            prior = np.ones(num_classes, "float64")
+            if estimator == "differentiation":
+                return find_dirichlet_priors(
+                    ss, neg_ss, prior, max_iter=10000,
+                    delta=self.config["delta"], beta=self.config["beta"])
+            if estimator == "estimation":
+                return de.find_dirichlet_priors_alt(
+                    ss, prior, max_iter=10000, delta=self.config["delta"])
+            if estimator in ("fixedpoint", "meanprecision"):
+                fit = (de.fixedpoint_with_sufficient_statistic
+                       if estimator == "fixedpoint"
+                       else de.meanprecision_with_sufficient_statistic)
+                return fit(ss, n_obs, num_classes, prior,
+                           delta=self.config["delta"])
+            raise ValueError(f"unknown estimator '{estimator}'")
 
         def dirichlet_em(measurements):
             params = np.ones((num_classes, num_classes), "float64")
@@ -164,10 +192,7 @@ class DirichletFusion(FusionModel):
                 ss = (measurements[c, :] / class_counts[c]).astype("float64")
                 neg_ss = (measurements.sum(0) - measurements[c, :]) / \
                     (class_counts.sum() - class_counts[c])
-                prior = np.ones(num_classes, "float64")
-                params[:, c] = find_dirichlet_priors(
-                    ss, neg_ss, prior, max_iter=10000,
-                    delta=self.config["delta"], beta=self.config["beta"])
+                params[:, c] = solve(ss, neg_ss, class_counts[c])
             return params
 
         self.dirichlet_params = {m: dirichlet_em(counts[m]).astype("float32")

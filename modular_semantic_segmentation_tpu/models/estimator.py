@@ -328,9 +328,16 @@ class Estimator:
         batches = to_device_prefetched(batches)
 
         summary_file = None
+        event_writer = None
         if self.output_dir is not None:
             summary_file = open(path.join(self.output_dir, "summaries.jsonl"),
                                 "a")
+            # reference-layout twin: a TF event file the reference's own
+            # tooling (summary_iterator-based get_summary, notebooks) reads
+            # directly (reference experiments/utils.py:130-149)
+            from modular_semantic_segmentation_tpu.utils.tfevents import \
+                EventWriter
+            event_writer = EventWriter(self.output_dir)
         # periodic checkpoint for resume-from-step (the reference has no
         # failure recovery — SURVEY.md §5)
         checkpoint_interval = self.config.get("checkpoint_interval")
@@ -361,11 +368,18 @@ class Estimator:
                 if summary_file is not None:
                     summary_file.write(json.dumps(record) + "\n")
                     summary_file.flush()
+                if event_writer is not None:
+                    event_writer.add_scalars(
+                        self.global_step,
+                        {k: v for k, v in record.items()
+                         if k not in ("step", "wall_time")})
                 if "abort_at_iou" in self.config and \
                         score["mean_IoU"] > self.config["abort_at_iou"]:
                     break
         if summary_file is not None:
             summary_file.close()
+        if event_writer is not None:
+            event_writer.close()
         print("INFO: Training finished.")
 
     # --------------------------------------------------------------- predict

@@ -138,6 +138,80 @@ def find_dirichlet_priors(ss, neg_ss, init_alphas, max_iter=1000, delta=1e-2,
     return priors
 
 
+def find_dirichlet_priors_alt(ss, init_alphas, max_iter=1000, delta=1e-2,
+                              verbose=False):
+    """The reference's ALTERNATE estimator (xview/models/
+    dirichletEstimation.py:129-186) — Sklar's solver WITHOUT the
+    negative-statistic contrast, and with one numerical difference from the
+    beta=0 path of :func:`find_dirichlet_priors`: the L2 penalty's second
+    derivative is kept in the Hessian constant (``-trigamma(sum a) +
+    2*delta``, dirichletEstimation.py:58), where the main estimator comments
+    it out (dirichletDifferentiation.py:61). Same objective, so both
+    converge to the same optimum; the Newton trajectories (and therefore
+    early-stopped iterates) differ. Kept callable for the same configs the
+    reference keeps importable (dirichlet_mix.py:8, commented import).
+    """
+    ss = np.asarray(ss, np.float64)
+    zeros = np.zeros_like(ss)
+    priors = np.array(init_alphas, np.float64, copy=True)
+    current_loss = _loss(priors, ss, zeros, 0.0, delta)
+
+    def newton_step(alphas, gradient):
+        h_const = -special.polygamma(1, alphas.sum()) + 2 * delta
+        h_diag = special.polygamma(1, alphas)
+        b = ((gradient / h_diag).sum()
+             / (1.0 / h_const + (1.0 / h_diag).sum()))
+        return (b - gradient) / h_diag
+
+    def log_space_step(alphas, gradient):
+        h_const = -special.polygamma(1, alphas.sum()) + 2 * delta
+        h_diag = special.polygamma(1, alphas)
+        denom = gradient - alphas * h_diag
+        z = h_const * (alphas / denom).sum()
+        s = ((1.0 / denom) / (1 + z)).sum()
+        return gradient / denom * (1 - h_const * alphas * s)
+
+    for _ in range(max_iter):
+        gradient = _gradient(priors, ss, zeros, 0.0, delta)
+        if float(np.square(gradient).sum()) < GRADIENT_TOL_SQ:
+            if verbose:
+                print("Converged with small gradient")
+            return priors
+
+        with np.errstate(over="raise", invalid="raise"):
+            try:
+                trial = priors + newton_step(priors, gradient)
+                loss = _loss(trial, ss, zeros, 0.0, delta)
+                if loss < current_loss:
+                    current_loss, priors = loss, trial
+                    continue
+            except FloatingPointError:
+                pass
+            try:
+                trial = priors * np.exp(log_space_step(priors, gradient))
+                loss = _loss(trial, ss, zeros, 0.0, delta)
+            except FloatingPointError:
+                if verbose:
+                    print("overflow in log-space step, returning")
+                return priors
+
+        loss = np.inf
+        learn_rate = 1.0
+        while loss > current_loss:
+            learn_rate *= 0.9
+            trial = priors + gradient * learn_rate
+            loss = _loss(trial, ss, zeros, 0.0, delta)
+        if learn_rate < LEARN_RATE_TOL:
+            if verbose:
+                print("Converged with small learn rate")
+            return priors
+        current_loss, priors = loss, trial
+
+    if verbose:
+        print("Reached max iterations")
+    return priors
+
+
 # --------------------------------------------------------------------------
 # Minka fastfit alternatives (reference xview/models/dirichlet_fastfit.py),
 # kept callable for the alternate-estimator configs.

@@ -1,6 +1,9 @@
-"""Pure-Python reader for TensorFlow event files (TFRecord framing +
-Event/Summary protobuf), so reference experiment records replay without a
-TensorFlow dependency.
+"""Pure-Python reader AND writer for TensorFlow event files (TFRecord
+framing + Event/Summary protobuf), so reference experiment records replay
+without a TensorFlow dependency — and runs written by THIS framework are
+readable by the reference's own tooling (its ``ExperimentData.get_summary``
+calls tensorflow's ``summary_iterator`` over the run directory's
+events file, reference experiments/utils.py:130-149).
 
 The reference's notebooks consume its published sacred runs
 (experimental_data.tar.gz) whose training curves live in TF event files;
@@ -123,3 +126,120 @@ def iter_scalar_events(source):
         for tag, simple_value in values:
             if tag is not None and simple_value is not None:
                 yield ScalarEvent(wall_time, step, tag, simple_value)
+
+
+# --------------------------------------------------------------------------
+# Writer
+# --------------------------------------------------------------------------
+
+def _make_crc32c_table():
+    # Castagnoli polynomial, reflected (0x82F63B78) — the CRC TFRecord uses.
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data):
+    global _CRC32C_TABLE
+    try:  # accelerated package when present (same one the reader verifies
+        import crc32c  # with); the table fallback matches it bit for bit
+        return crc32c.crc32c(data)
+    except ImportError:
+        pass
+    if _CRC32C_TABLE is None:
+        _CRC32C_TABLE = _make_crc32c_table()
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc = _CRC32C_TABLE[(crc ^ byte) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data):
+    crc = _crc32c(data)
+    return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+
+def _varint(value):
+    out = bytearray()
+    while True:
+        byte = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(byte | 0x80)
+        else:
+            out.append(byte)
+            return bytes(out)
+
+
+def _ld(field, payload):
+    """Length-delimited protobuf field."""
+    return _varint(field << 3 | 2) + _varint(len(payload)) + payload
+
+
+def _frame_record(payload):
+    """TFRecord framing: length + masked CRC of length + data + CRC."""
+    header = struct.pack("<Q", len(payload))
+    return (header + struct.pack("<I", _masked_crc(header))
+            + payload + struct.pack("<I", _masked_crc(payload)))
+
+
+def encode_scalar_event(wall_time, step, scalars):
+    """One framed TFRecord holding an Event with simple_value summaries.
+
+    Args:
+        scalars: dict {tag: float}.
+    """
+    summary = b"".join(
+        _ld(1, _ld(1, tag.encode("utf8"))
+            + _varint(2 << 3 | 5) + struct.pack("<f", float(value)))
+        for tag, value in scalars.items())
+    event = (_varint(1 << 3 | 1) + struct.pack("<d", float(wall_time))
+             + _varint(2 << 3 | 0) + _varint(int(step))
+             + _ld(5, summary))
+    return _frame_record(event)
+
+
+class EventWriter:
+    """Minimal append-only event-file writer (reference-layout runs).
+
+    Produces an ``events.out.tfevents.<ts>.<host>`` file in ``logdir`` that
+    tensorflow's ``summary_iterator`` — and therefore the reference's
+    notebooks and ``get_summary`` — reads directly (oracle-checked in
+    tests/test_experiment_record_loading.py). The first record is the
+    conventional ``brain.Event:2`` file-version event.
+    """
+
+    def __init__(self, logdir, wall_time=None):
+        import os
+        import socket
+        import time as _time
+        wall_time = _time.time() if wall_time is None else wall_time
+        name = (f"events.out.tfevents.{int(wall_time)}."
+                f"{socket.gethostname()}")
+        self.path = os.path.join(logdir, name)
+        self._file = open(self.path, "ab")
+        version = (_varint(1 << 3 | 1) + struct.pack("<d", float(wall_time))
+                   + _ld(3, b"brain.Event:2"))
+        self._file.write(_frame_record(version))
+
+    def add_scalars(self, step, scalars, wall_time=None):
+        import time as _time
+        wall_time = _time.time() if wall_time is None else wall_time
+        self._file.write(encode_scalar_event(wall_time, step, scalars))
+        self._file.flush()
+
+    def close(self):
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -200,6 +200,42 @@ def test_reference_layout_record_loads(record_storage):
     assert "rgb/conv1_1/kernel" in np.load(weights_path)
 
 
+def test_event_writer_readable_by_tensorflow(tmp_path):
+    """The INVERSE interop direction: event files written by this
+    framework's pure-python EventWriter (what Estimator.fit stores next to
+    summaries.jsonl) parse through tensorflow's own summary_iterator — the
+    exact call the reference's get_summary makes on a run directory
+    (reference experiments/utils.py:130-149). TF verifies the TFRecord
+    CRCs, so this is also the masked-crc32c oracle for the writer."""
+    import tensorflow as tf
+    from modular_semantic_segmentation_tpu.utils.tfevents import (
+        EventWriter, iter_scalar_events)
+
+    steps = [0, 50, 100]
+    losses = [1.5, 0.9, 0.311]
+    with EventWriter(str(tmp_path)) as writer:
+        for step, loss in zip(steps, losses):
+            writer.add_scalars(step, {"loss": loss, "IoU": 1.0 - loss / 2})
+
+    # TF oracle (CRC-checked)
+    got = {}
+    for event in tf.compat.v1.train.summary_iterator(writer.path):
+        for value in event.summary.value:
+            got.setdefault(value.tag, []).append((event.step,
+                                                  value.simple_value))
+    assert [s for s, _ in got["loss"]] == steps
+    np.testing.assert_allclose([v for _, v in got["loss"]], losses,
+                               rtol=1e-6)
+    np.testing.assert_allclose([v for _, v in got["IoU"]],
+                               [1.0 - l / 2 for l in losses], rtol=1e-6)
+
+    # our own reader round-trips it too
+    ours = [e for e in iter_scalar_events(writer.path) if e.tag == "loss"]
+    assert [e.step for e in ours] == steps
+    np.testing.assert_allclose([e.simple_value for e in ours], losses,
+                               rtol=1e-6)
+
+
 def test_reference_layout_zip_roundtrip(record_storage, tmp_path):
     """dump() of a reference-layout run produces a zip the zip backend
     reads back, including TF-event get_summary."""

@@ -213,6 +213,28 @@ def test_em_recovers_dirichlet_parameters():
     np.testing.assert_allclose(mle, true_alpha, rtol=0.15)
 
 
+def test_alternate_estimator_matches_main_at_optimum():
+    """find_dirichlet_priors_alt (reference dirichletEstimation.py) solves
+    the same objective as the beta=0 main path — different Newton
+    trajectory (the +2*delta Hessian-const term), same optimum."""
+    rng = np.random.RandomState(11)
+    true_alpha = np.array([2.0, 5.0, 1.0])
+    samples = rng.dirichlet(true_alpha, size=20000)
+    ss = np.log(samples).mean(0)
+    alt = de.find_dirichlet_priors_alt(ss, np.ones(3), max_iter=10000,
+                                       delta=0.0)
+    np.testing.assert_allclose(alt, true_alpha, rtol=0.1)
+    main = de.find_dirichlet_priors(ss, np.zeros(3), np.ones(3),
+                                    max_iter=10000, delta=1e-2, beta=0.0)
+    alt_pen = de.find_dirichlet_priors_alt(ss, np.ones(3), max_iter=10000,
+                                           delta=1e-2)
+    np.testing.assert_allclose(alt_pen, main, rtol=1e-3)
+    # the penalized objective agrees at both solutions
+    obj_main = de._objective(main, ss, np.zeros(3), 0.0, 1e-2)
+    obj_alt = de._objective(alt_pen, ss, np.zeros(3), 0.0, 1e-2)
+    np.testing.assert_allclose(obj_alt, obj_main, rtol=1e-8)
+
+
 def test_em_regularizers_shrink():
     rng = np.random.RandomState(8)
     true_alpha = np.array([3.0, 3.0, 3.0])

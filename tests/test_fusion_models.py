@@ -110,6 +110,16 @@ def test_dirichlet_fusion_fit_and_eval(setup):
     _import_experts(net2, weights)
     np.testing.assert_array_equal(net2.predict(data.get_testset()), preds)
 
+    # alternate estimators (reference dirichlet_mix.py:6-9 keeps all four
+    # importable) fit valid positive concentrations through the same path
+    for estimator in ("estimation", "meanprecision"):
+        net.config["estimator"] = estimator
+        p = net.fit(data.get_measureset())
+        assert np.isfinite(p["rgb"]).all() and (p["rgb"] > 0).all(), estimator
+    net.config["estimator"] = "nope"
+    with pytest.raises(ValueError, match="unknown estimator"):
+        net.fit(data.get_measureset())
+
 
 def test_variance_fusion(setup):
     data, weights, _ = setup

@@ -129,6 +129,11 @@ def test_datasource_stack_uses_native_pack():
     assert compact["rgb"].dtype == np.uint8
     np.testing.assert_array_equal(compact["rgb"].astype(np.float32),
                                   batch["rgb"])
+    # labels ride int8 under compact transfer (num_classes <= 127; the
+    # confusion matrix widens on device, ops/metrics.py:29)
+    assert compact["labels"].dtype == np.int8
+    np.testing.assert_array_equal(compact["labels"].astype(np.int32),
+                                  batch["labels"])
 
 
 def test_pooled_batches_match_sequential():

@@ -133,15 +133,20 @@ def test_remat_training_matches_plain(data):
 
 
 def test_training_is_reproducible_from_seed(data):
-    """Two fits with the same config produce identical weights: the data
-    shuffle order now derives from the model seed (the reference's
-    tf.data shuffle was unseeded, so its runs were never reproducible)."""
+    """Two fits with the same config produce identical weights: the batch
+    shuffle derives from the model seed AND dataset construction is
+    deterministic (the reference shuffled every trainset with the unseeded
+    stdlib rng, data_baseclass.py:31, and its tf.data shuffle was unseeded
+    — its runs were never reproducible). The dataset is built FRESH inside
+    each run so the construction-time item order is covered too."""
     def run():
+        fresh = get_dataset("unittest")(height=32, width=32, num_train=8,
+                                        num_measure=2, num_test=3)
         net = get_model("simple_fcn")(
             prefix="rgb", modality="rgb", num_units=4, seed=11,
-            data_description=data.get_data_description(), batchsize=2,
+            data_description=fresh.get_data_description(), batchsize=2,
             learning_rate=0.01)
-        net.fit(data.get_trainset(), 3, output=False)
+        net.fit(fresh.get_trainset(), 3, output=False)
         variables = {k: np.asarray(v) for k, v in net.variables.items()}
         net.close()
         return variables
@@ -250,12 +255,16 @@ def test_compact_uint8_transfer_matches_float(data):
     batch = next(data.get_testset().batches(2))
     compact = dict(batch)
     compact["rgb"] = batch["rgb"].astype(np.uint8)  # fixture rgb is integral
+    compact["labels"] = batch["labels"].astype(np.int8)  # compact labels
     np.testing.assert_array_equal(compact["rgb"].astype(np.float32),
                                   batch["rgb"])
     out_f32 = net._jit_eval_step(net.variables, batch, jax.random.PRNGKey(0))
     out_u8 = net._jit_eval_step(net.variables, compact, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(out_f32["prediction"]),
                                   np.asarray(out_u8["prediction"]))
+    # int8 labels produce the identical on-device confusion matrix
+    np.testing.assert_array_equal(np.asarray(out_f32["confusion_matrix"]),
+                                  np.asarray(out_u8["confusion_matrix"]))
 
 
 def test_bf16_training_converges_like_f32(data):
