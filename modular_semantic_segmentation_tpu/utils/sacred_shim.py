@@ -205,6 +205,20 @@ class Experiment:
     # ------------------------------------------------------------------ runs
     def run(self, command_name="main", config_updates=None):
         config = dict(config_updates or {})
+        # sacred semantics: every run has a seed — auto-generated when not
+        # given, RECORDED in config.json, and used to seed the global
+        # python/numpy rngs at run start (sacred/randomness.py). Host
+        # augmentation draws from those globals (datasets/augmentation.py,
+        # as the reference's does), so a recorded run replays exactly
+        # through `experiments.rerun with experiment_id=...`.
+        if "seed" not in config:
+            import secrets
+            config["seed"] = secrets.randbelow(2 ** 31)
+        import random as _random
+
+        import numpy as _np
+        _random.seed(config["seed"])
+        _np.random.seed(config["seed"] % 2 ** 32)
         fn = self.commands[command_name]
         run_id = None
         for observer in self.observers:

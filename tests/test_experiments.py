@@ -191,6 +191,18 @@ def test_rerun_reproduces(storage, training_run):
                       ["with", f"experiment_id={training_run}"], storage)
     assert "Re-Run of experiment" in result.stdout
     assert "Training finished" in result.stdout
+    # sacred seed semantics: the original run auto-generated a seed and
+    # RECORDED it; the rerun replays the recorded config, so its child
+    # run carries the same seed — global-rng consumers (host
+    # augmentation) reproduce exactly (sacred/randomness.py behavior).
+    folder = storage["EXPERIMENT_STORAGE_FOLDER"]
+    original = json.load(open(
+        os.path.join(folder, str(training_run), "config.json")))
+    assert isinstance(original.get("seed"), int)
+    child = max(int(d) for d in os.listdir(folder) if d.isdigit())
+    replay = json.load(open(
+        os.path.join(folder, str(child), "config.json")))
+    assert replay["seed"] == original["seed"]
 
 
 def test_grid_search_collects_lists():
