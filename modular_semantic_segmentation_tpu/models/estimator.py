@@ -436,17 +436,19 @@ class Estimator:
 
     # ---------------------------------------------------------- quantization
     def quantize_for_serving(self, data, num_batches=8, min_channels=128,
-                             percentile=100.0):
+                             percentile=100.0, min_pixels=2048):
         """Enable int8 post-training-quantized inference (models/quantize.py).
 
         Calibrates per-conv activation scales on a few batches of ``data``
         (use the measure set — same data the fusion models are fitted on),
-        then switches eligible convs (>= ``min_channels`` input channels)
-        to the int8 MXU path for all subsequent predict/score calls.
-        Training and weight IO are unaffected. To re-enable without
-        recalibration, pass a previously returned scales dict AS ``data``.
-        Returns the scales dict (empty + a warning if no conv qualifies —
-        serving then stays on the float path).
+        then switches eligible convs (>= ``min_channels`` input channels
+        AND >= ``min_pixels`` input positions — small-spatial convs lose
+        to bf16, see quantize.select_scales) to the int8 MXU path for all
+        subsequent predict/score calls. Training and weight IO are
+        unaffected. To re-enable without recalibration, pass a previously
+        returned scales dict AS ``data``. Returns the scales dict (empty
+        + a warning if no conv qualifies — serving then stays on the
+        float path).
         """
         from modular_semantic_segmentation_tpu.models import quantize as q
         if isinstance(data, dict) and all(
@@ -456,10 +458,12 @@ class Estimator:
             amax = q.calibrate_amax(self, data, num_batches=num_batches,
                                     percentile=percentile)
             scales = q.select_scales(amax, self.variables,
-                                     min_channels=min_channels)
+                                     min_channels=min_channels,
+                                     min_pixels=min_pixels)
         if not scales:
-            print("WARNING: quantize_for_serving found no conv with >= "
-                  f"{min_channels} input channels — serving stays float.")
+            print("WARNING: quantize_for_serving found no eligible conv "
+                  f"(>= {min_channels} input channels and >= {min_pixels} "
+                  "input positions) — serving stays float.")
         self.act_scales = scales or None
         # fresh jit wrapper: the scales are baked into the trace as
         # constants, so the old compiled cache must not be reused

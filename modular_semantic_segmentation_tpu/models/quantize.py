@@ -13,10 +13,13 @@ Design (measured in scripts/int8_probe.py / int8_chain_probe.py):
   * symmetric per-output-channel weight scales, computed in-graph from
     the stored f32 kernels — the npz weight contract is untouched and a
     quantized model can still export/import weights;
-  * only convs with at least ``min_channels`` input channels are
-    quantized: the probes show int8 losing to bf16 below 128 channels at
-    batch 1 (the 64-wide full-resolution convs are layout-bound, not
-    MXU-bound) and winning 1.3-1.6x on the deep blocks;
+  * only convs with at least ``min_channels`` input channels AND at
+    least ``min_pixels`` input positions are quantized: the probes show
+    int8 losing to bf16 below 128 channels at batch 1 (the 64-wide
+    full-resolution convs are layout-bound, not MXU-bound) and winning
+    1.3-1.6x on the deep blocks, while below ~2k spatial positions the
+    MXU is underfed and the quantize ops at residual junctions dominate
+    (AdapNet's 48x24 bottlenecks; min_pixels sweep in docs/TIMING.md);
   * everything else (BN, bias, activations, fusion math, softmax) stays
     in the float path; XLA folds the dequant multiply into the following
     BN/bias affine and fuses the next layer's quantize into the same
@@ -69,20 +72,32 @@ def calibrate_amax(net, data, num_batches=8, percentile=100.0):
     return running
 
 
-def select_scales(amax, variables, min_channels=128):
+def select_scales(amax, variables, min_channels=128, min_pixels=2048):
     """Turn calibrated amaxes into activation scales for eligible convs.
 
-    Eligibility is decided from the conv kernel's input-channel count
-    (``<scope>/kernel`` shape[2]); convs narrower than ``min_channels``
-    stay in the float path (see module docstring).
+    Eligibility:
+      * the conv kernel's input-channel count (``<scope>/kernel``
+        shape[2]) must be at least ``min_channels`` — below 128 channels
+        at batch 1 the conv is layout-bound and int8 loses;
+      * the conv input's spatial extent (recorded at calibration as
+        ``<scope>/input_pixels``) must be at least ``min_pixels`` — at
+        small spatial sizes the MXU is underfed and the quantize ops at
+        residual junctions cost more than the int8 matmuls save. This is
+        what regressed AdapNet (1x1 bottlenecks at 48x24 = 1152
+        positions) before round 3; measured sweep in docs/TIMING.md.
     """
     scales = {}
     for key, value in amax.items():
+        if not key.endswith("/input_amax"):
+            continue
         scope = key.rsplit("/", 1)[0]
         kernel = variables.get(scope + "/kernel")
         if kernel is None or kernel.ndim != 4:
             continue
         if int(kernel.shape[2]) < min_channels:
+            continue
+        pixels = amax.get(scope + "/input_pixels")
+        if pixels is not None and pixels < min_pixels:
             continue
         if value <= 0.0 or not np.isfinite(value):
             continue

@@ -205,6 +205,14 @@ def conv2d(ctx, x, filters, kernel_size, name, strides=1, dilation_rate=1,
             if quant_key in ctx.amax:
                 amax = jnp.maximum(ctx.amax[quant_key], amax)
             ctx.amax[quant_key] = amax
+            # static spatial extent of this conv's input, for the
+            # quantization-eligibility rule (models/quantize.select_scales
+            # min_pixels): int8 loses below ~4k positions at batch 1 —
+            # the MXU is underfed and the quantize ops at residual
+            # junctions cost more than the int8 matmul saves (AdapNet's
+            # 1x1 bottlenecks, docs/TIMING.md).
+            ctx.amax[ctx.full_name("input_pixels")] = jnp.float32(
+                int(x.shape[1]) * int(x.shape[2]))
         int8_serving = (not ctx.train and not ctx.calibrate
                         and ctx.act_scales is not None
                         and quant_key in ctx.act_scales

@@ -90,9 +90,19 @@ def reverse_convert_datatypes(data):
 
 
 class ExperimentData:
-    """Uniform accessor for a past run's record and artifacts."""
+    """Uniform accessor for a past run's record and artifacts.
+
+    Three backends, matching the reference (experiments/utils.py:61-104):
+    MongoDB + GridFS when the EXPERIMENT_DB_* settings are configured and
+    pymongo is importable (sacred MongoObserver document layout:
+    ``db.runs`` keyed by ``_id``, artifacts as {name, file_id} GridFS
+    references), otherwise the FileStorage directory layout, otherwise a
+    ``<id>.zip`` archive of the same layout.
+    """
 
     def __init__(self, exp_id):
+        if settings.EXPERIMENT_DB_HOST and self._try_load_mongo(exp_id):
+            return
         folder = settings.EXPERIMENT_STORAGE_FOLDER
         if str(exp_id) in listdir(folder):
             self.exp_path = path.join(folder, str(exp_id))
@@ -134,14 +144,55 @@ class ExperimentData:
             raise UserWarning(f"Specified experiment {exp_id} not found.")
         self.record = record
 
+    def _try_load_mongo(self, exp_id):
+        """Load the run document + GridFS artifact index from the sacred
+        MongoObserver layout (reference experiments/utils.py:63-78).
+        Returns False (→ file-storage fallback) when pymongo is absent,
+        the server is unreachable, or the id is not in ``db.runs``."""
+        try:
+            import gridfs
+            import pymongo
+        except ImportError:
+            print("WARNING: DB settings found but no mongo support; "
+                  "falling back to file storage")
+            return False
+        try:
+            client = pymongo.MongoClient(
+                "mongodb://{user}:{pwd}@{host}/{db}".format(
+                    host=settings.EXPERIMENT_DB_HOST,
+                    user=settings.EXPERIMENT_DB_USER,
+                    pwd=settings.EXPERIMENT_DB_PWD,
+                    db=settings.EXPERIMENT_DB_NAME))
+            db = client[settings.EXPERIMENT_DB_NAME]
+            record = db.runs.find_one({"_id": int(exp_id)})
+        except Exception as error:  # unreachable server, bad credentials …
+            print(f"WARNING: mongo backend failed ({error}); "
+                  "falling back to file storage")
+            return False
+        if record is None:
+            return False
+        self._mongo_runs = db.runs
+        self._gridfs = gridfs.GridFS(db)
+        self._artifact_ids = {a["name"]: a["file_id"]
+                              for a in record.get("artifacts", [])}
+        record["artifacts"] = list(self._artifact_ids)
+        record.setdefault("info", {})
+        record.setdefault("config", {})
+        record.setdefault("captured_out", "")
+        self.artifacts = list(self._artifact_ids)
+        self.record = record
+        return True
+
     def get_record(self):
         return reverse_convert_datatypes(deepcopy(self.record))
 
     def get_artifact(self, name):
         """Return the artifact with the given name as a file path (dir
-        backend) or file-like object (zip backend)."""
+        backend) or file-like object (zip and mongo/GridFS backends)."""
         if name not in self.artifacts:
             raise UserWarning(f"ERROR: Artifact {name} not found")
+        if hasattr(self, "_gridfs"):
+            return self._gridfs.get(self._artifact_ids[name])
         if hasattr(self, "exp_path"):
             return path.join(self.exp_path, name)
         archive = zipfile.ZipFile(self.zipfile)
@@ -161,10 +212,15 @@ class ExperimentData:
         if search:
             steps, values = [], []
             fobj = self.get_artifact(search[0])
-            lines = (open(fobj) if isinstance(fobj, str) else fobj)
+            if isinstance(fobj, str):
+                with open(fobj) as f:
+                    lines = f.read().splitlines()
+            else:
+                # zip/GridFS file-likes iterate by chunks, not lines
+                lines = fobj.read().decode("utf8").splitlines()
             for line in lines:
-                if isinstance(line, bytes):
-                    line = line.decode("utf8")
+                if not line.strip():
+                    continue
                 record = json.loads(line)
                 if tag in record:
                     steps.append(record["step"])
@@ -217,9 +273,15 @@ class ExperimentData:
         return out_path
 
     def update_record(self, changes):
-        """Apply changes to the stored record (dir backend)."""
-        assert hasattr(self, "exp_path"), \
-            "update_record only supported for directory storage"
+        """Apply changes to the stored record (dir and mongo backends,
+        reference experiments/utils.py:180-185)."""
         self.record.update(changes)
+        if hasattr(self, "_mongo_runs"):
+            self._mongo_runs.update_one(
+                {"_id": self.record["_id"]},
+                {"$set": {key: self.record[key] for key in changes}})
+            return
+        assert hasattr(self, "exp_path"), \
+            "update_record only supported for directory or mongo storage"
         with open(path.join(self.exp_path, "info.json"), "w") as f:
             json.dump(self.record["info"], f, indent=2, default=str)

@@ -447,3 +447,273 @@ def test_adapnet_network_golden_parity(tmp_path):
 
     prob = net.predict({"rgb": x}, output_attr="prob")
     np.testing.assert_allclose(prob, expected["prob"], rtol=1e-3, atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# FusionFCN + ProgressiveFCN (round 3): the remaining two trainable
+# architectures get the same network-level lock as SimpleFCN/AdapNet.
+# --------------------------------------------------------------------------
+
+def _tf_vgg16_flat(o, x, prefix, widths=(64, 128, 256, 512, 512)):
+    """Reference-shaped bare VGG16 stack with the flat '{prefix}_convX_Y'
+    naming (xview/models/vgg16.py:7-51; no batch norm — the params dict
+    fusion_fcn.py:15-17 passes turns it off)."""
+    l = {}
+    last = x
+    for block, (reps, width) in enumerate(
+            zip((2, 2, 3, 3, 3), widths), start=1):
+        for rep in range(1, reps + 1):
+            name = f"conv{block}_{rep}"
+            l[name] = last = o.conv(last, width, 3, f"{prefix}_{name}",
+                                    bn=False)
+        if block < 5:
+            l[f"pool{block}"] = last = o.maxpool(last)
+    return l
+
+
+MODALITY_SHAPES = {"rgb": 3, "depth": 1}
+
+
+def _fusion_data_description(num_classes=NUM_CLASSES):
+    return ({"labels": np.int32, "rgb": np.float32, "depth": np.float32},
+            {"rgb": (None, None, 3), "depth": (None, None, 1),
+             "labels": (None, None)}, num_classes)
+
+
+def _tf_fusion_fcn(o, inputs, prefixes, num_units, num_classes):
+    """Reference-shaped late-fusion FCN (xview/models/fusion_fcn.py:11-40):
+    one VGG16 per modality, channel-concat of conv4_3/conv5_3 across
+    modalities, fused 1x1 score convs, frozen 4x4/2 deconv, shared
+    'fused'-scoped decoder. batch_normalization=False throughout (the
+    reference's params dict)."""
+    l = {}
+    for modality, prefix in prefixes.items():
+        l[modality] = _tf_vgg16_flat(o, inputs[modality], prefix)
+    concat4 = tf.concat([l[m]["conv4_3"] for m in prefixes], axis=3)
+    concat5 = tf.concat([l[m]["conv5_3"] for m in prefixes], axis=3)
+    l["score_conv4"] = o.conv(concat4, num_units, 1, "fused_score_conv4",
+                              bn=False)
+    l["score_conv5"] = o.conv(concat5, num_units, 1, "fused_score_conv5",
+                              bn=False)
+    l["upscore_conv5"] = o.deconv(l["score_conv5"], num_units, 4, 2,
+                                  "fused_upscore_conv5", bn=False)
+    l["features"] = l["score_conv4"] + l["upscore_conv5"]
+    with o.scope("fused"):
+        l["upscore"] = o.deconv(l["features"], num_units, 16, 8, "upscore",
+                                bn=False)
+        l["score"] = o.conv(l["upscore"], num_classes, 1, "score",
+                            activation=None, bn=False)
+    l["prob"] = tf.nn.softmax(l["score"])
+    return l
+
+
+def test_fusion_fcn_network_golden_parity(tmp_path):
+    from modular_semantic_segmentation_tpu.models import get_model
+    from modular_semantic_segmentation_tpu.models.fusion_fcn import fusion_fcn
+
+    prefixes = {"rgb": "rgb", "depth": "depth"}
+    rng = np.random.RandomState(4)
+    inputs = {m: (rng.rand(2, 32, 48, c).astype(np.float32) * 4 - 2)
+              for m, c in MODALITY_SHAPES.items()}
+
+    oracle = _TfOracle(seed=13)
+    expected = {k: ({kk: np.asarray(vv) for kk, vv in v.items()}
+                    if isinstance(v, dict) else np.asarray(v))
+                for k, v in _tf_fusion_fcn(
+                    oracle, {m: tf.constant(v) for m, v in inputs.items()},
+                    prefixes, NUM_UNITS, NUM_CLASSES).items()}
+
+    net = get_model("fusion_fcn")(
+        data_description=_fusion_data_description(), prefixes=prefixes,
+        num_units=NUM_UNITS, batchsize=2)
+    _import_into(net, oracle.weights, tmp_path)
+
+    ctx = Ctx(dict(net.variables), train=False)
+    ours = fusion_fcn(ctx, {m: jnp.asarray(v) for m, v in inputs.items()},
+                      prefixes, NUM_UNITS, NUM_CLASSES)
+
+    for modality in prefixes:
+        for name in ["conv1_2", "pool2", "conv3_3", "conv4_3", "conv5_3"]:
+            np.testing.assert_allclose(
+                np.asarray(ours[modality][name]), expected[modality][name],
+                rtol=1e-3, atol=2e-3,
+                err_msg=f"{modality} encoder layer {name} drifted")
+    for name in ["score_conv4", "score_conv5", "upscore_conv5", "features",
+                 "upscore", "score"]:
+        np.testing.assert_allclose(
+            np.asarray(ours[name]), expected[name], rtol=1e-3, atol=2e-3,
+            err_msg=f"fusion layer {name} drifted from the TF1 oracle")
+
+    prob = net.predict(inputs, output_attr="prob")
+    np.testing.assert_allclose(prob, expected["prob"], rtol=1e-3, atol=2e-3)
+    net.close()
+
+
+def _tf_adap_conv(o, x, laterals, filters, name):
+    """Reference adapter block (xview/models/custom_layers.py:142-219):
+    per-column trainable scales -> 1x1 adapter conv (relu, the block's
+    activation) -> concat with the current column -> 3x3 combination conv.
+    Variable scopes: <name>/adapter/{scale,adapter/*} + <name>/combination."""
+    with o.scope(name):
+        with o.scope("adapter"):
+            scale = o._var("scale", (len(laterals),), "normal")
+            scaled = tf.concat([scale[i] * laterals[i]
+                                for i in range(len(laterals))], axis=-1)
+            adapter = o.conv(scaled, int(x.shape[-1]), 1, "adapter", bn=False)
+        together = tf.concat([x, adapter], axis=-1)
+        return o.conv(together, filters, 3, "combination", bn=False)
+
+
+def _tf_progressive_fcn(o, inputs, num_units, num_classes):
+    """Reference-shaped progressive FCN: frozen rgb VGG16 lateral column
+    (vgg16.py:7-51), depth column as progressive_vgg16 (vgg16.py:54-111 —
+    adapter blocks at conv1_2/conv2_2/conv3_3/conv4_3/conv5_3 fed the
+    PREVIOUS layer of the lateral column), SimpleFCN skip head + decoder."""
+    rgb = _tf_vgg16_flat(o, inputs["rgb"], "rgb")
+    cols = {k: [v] for k, v in rgb.items()}
+    p = "depth"
+    l = {}
+    l["conv1_1"] = o.conv(inputs["depth"], 64, 3, f"{p}_conv1_1", bn=False)
+    l["conv1_2"] = _tf_adap_conv(o, l["conv1_1"], cols["conv1_1"], 64,
+                                 f"{p}_conv1_2")
+    l["pool1"] = o.maxpool(l["conv1_2"])
+    l["conv2_1"] = o.conv(l["pool1"], 128, 3, f"{p}_conv2_1", bn=False)
+    l["conv2_2"] = _tf_adap_conv(o, l["conv2_1"], cols["conv2_1"], 128,
+                                 f"{p}_conv2_2")
+    l["pool2"] = o.maxpool(l["conv2_2"])
+    l["conv3_1"] = o.conv(l["pool2"], 256, 3, f"{p}_conv3_1", bn=False)
+    l["conv3_2"] = o.conv(l["conv3_1"], 256, 3, f"{p}_conv3_2", bn=False)
+    l["conv3_3"] = _tf_adap_conv(o, l["conv3_2"], cols["conv3_2"], 256,
+                                 f"{p}_conv3_3")
+    l["pool3"] = o.maxpool(l["conv3_3"])
+    l["conv4_1"] = o.conv(l["pool3"], 512, 3, f"{p}_conv4_1", bn=False)
+    l["conv4_2"] = o.conv(l["conv4_1"], 512, 3, f"{p}_conv4_2", bn=False)
+    l["conv4_3"] = _tf_adap_conv(o, l["conv4_2"], cols["conv4_2"], 512,
+                                 f"{p}_conv4_3")
+    l["pool4"] = o.maxpool(l["conv4_3"])
+    l["conv5_1"] = o.conv(l["pool4"], 512, 3, f"{p}_conv5_1", bn=False)
+    l["conv5_2"] = o.conv(l["conv5_1"], 512, 3, f"{p}_conv5_2", bn=False)
+    l["conv5_3"] = _tf_adap_conv(o, l["conv5_2"], cols["conv5_2"], 512,
+                                 f"{p}_conv5_3")
+    score_conv4 = o.conv(l["conv4_3"], num_units, 1, f"{p}_score_conv4",
+                         bn=False)
+    score_conv5 = o.conv(l["conv5_3"], num_units, 1, f"{p}_score_conv5",
+                         bn=False)
+    upscore_conv5 = o.deconv(score_conv5, num_units, 4, 2,
+                             f"{p}_upscore_conv5", bn=False)
+    l["fused"] = score_conv4 + upscore_conv5
+    with o.scope(p):
+        l["upscore"] = o.deconv(l["fused"], num_units, 16, 8, "upscore",
+                                bn=False)
+        l["score"] = o.conv(l["upscore"], num_classes, 1, "score",
+                            activation=None, bn=False)
+    l["prob"] = tf.nn.softmax(l["score"])
+    return l
+
+
+def test_progressive_fcn_network_golden_parity(tmp_path):
+    """Locks the resurrected progressive-networks column (adap_conv scales,
+    1x1 adapter convs, combination convs, lateral wiring) to raw-TF
+    semantics end-to-end — the adapter block is the one piece of layer
+    machinery no other golden test touches."""
+    from modular_semantic_segmentation_tpu.models import get_model
+    from modular_semantic_segmentation_tpu.models.progressive_fcn import \
+        progressive_fcn
+
+    rng = np.random.RandomState(6)
+    inputs = {m: (rng.rand(2, 32, 48, c).astype(np.float32) * 4 - 2)
+              for m, c in MODALITY_SHAPES.items()}
+
+    oracle = _TfOracle(seed=17)
+    expected = {k: np.asarray(v) for k, v in _tf_progressive_fcn(
+        oracle, {m: tf.constant(v) for m, v in inputs.items()},
+        NUM_UNITS, NUM_CLASSES).items()}
+
+    net = get_model("progressive_fcn")(
+        data_description=_fusion_data_description(), modality="depth",
+        prefix="depth", lateral_columns={"rgb": "rgb"},
+        num_units=NUM_UNITS, batchsize=2)
+    _import_into(net, oracle.weights, tmp_path)
+
+    ctx = Ctx(dict(net.variables), train=False)
+    ours = progressive_fcn(ctx, {m: jnp.asarray(v)
+                                 for m, v in inputs.items()},
+                           "depth", "depth", {"rgb": "rgb"},
+                           NUM_UNITS, NUM_CLASSES)
+
+    for name in ["conv1_1", "conv1_2", "conv2_2", "conv3_3", "pool3",
+                 "conv4_3", "conv5_3", "fused", "upscore", "score"]:
+        np.testing.assert_allclose(
+            np.asarray(ours[name]), expected[name], rtol=1e-3, atol=2e-3,
+            err_msg=f"layer {name} drifted from the TF1 oracle")
+
+    prob = net.predict(inputs, output_attr="prob")
+    np.testing.assert_allclose(prob, expected["prob"], rtol=1e-3, atol=2e-3)
+    net.close()
+
+
+def test_progressive_fcn_train_step_golden_parity(tmp_path):
+    """Training-step golden parity for the progressive column: loss and
+    every trainable gradient (adap_conv scales, 1x1 adapter convs,
+    combination convs, depth-column convs, head/decoder score convs) match
+    a TF GradientTape oracle, and the frozen pieces (the whole rgb lateral
+    column, the bilinear deconvs) receive no gradient at all — the exact
+    training semantics experiments/train_and_evaluate_progressive.py
+    relies on (lateral columns must stay bit-frozen while the new column
+    trains)."""
+    import jax
+    from modular_semantic_segmentation_tpu.models import get_model
+
+    rng = np.random.RandomState(8)
+    inputs = {m: (rng.rand(2, 32, 48, c).astype(np.float32) * 4 - 2)
+              for m, c in MODALITY_SHAPES.items()}
+    labels = rng.randint(-1, NUM_CLASSES, (2, 32, 48)).astype(np.int32)
+
+    # pass 1 creates the weight dict
+    oracle = _TfOracle(seed=19)
+    _tf_progressive_fcn(oracle, {m: tf.constant(v)
+                                 for m, v in inputs.items()},
+                        NUM_UNITS, NUM_CLASSES)
+    weights = oracle.weights
+
+    tensors = {k: tf.constant(v) for k, v in weights.items()}
+    with tf.GradientTape() as tape:
+        for t in tensors.values():
+            tape.watch(t)
+        o = _TfOracle(seed=19, tensors=tensors)
+        l = _tf_progressive_fcn(o, {m: tf.constant(v)
+                                    for m, v in inputs.items()},
+                                NUM_UNITS, NUM_CLASSES)
+        onehot = tf.one_hot(labels, NUM_CLASSES)
+        logp = tf.nn.log_softmax(l["score"])
+        tf_loss = (-tf.reduce_sum(onehot * logp)
+                   / (1e-20 + tf.reduce_sum(onehot)))
+    names = list(tensors)
+    tf_grads = dict(zip(names, tape.gradient(
+        tf_loss, [tensors[n] for n in names])))
+
+    net = get_model("progressive_fcn")(
+        data_description=_fusion_data_description(), modality="depth",
+        prefix="depth", lateral_columns={"rgb": "rgb"},
+        num_units=NUM_UNITS, batchsize=2)
+    _import_into(net, weights, tmp_path)
+    loss, _, _, grads = net._microbatch_grads(
+        net.variables, {**inputs, "labels": labels},
+        jax.random.PRNGKey(0), None)
+
+    np.testing.assert_allclose(float(loss), float(tf_loss), rtol=1e-4)
+    # the new column's adapter machinery IS trained
+    assert "depth_conv1_2/adapter/scale" in grads
+    assert "depth_conv1_2/adapter/adapter/kernel" in grads
+    assert "depth_conv1_2/combination/kernel" in grads
+    # the lateral column and the bilinear deconvs are NOT
+    assert not any(name.startswith("rgb_") for name in grads)
+    assert "depth_upscore_conv5/kernel" not in grads
+    assert "depth/upscore/kernel" not in grads
+    for name, g in grads.items():
+        tg = tf_grads.get(name)
+        assert tg is not None, f"TF oracle has no gradient for {name}"
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(tg), rtol=2e-3, atol=2e-4,
+            err_msg=f"gradient of {name} drifted from the TF1 oracle")
+    net.close()

@@ -96,6 +96,17 @@ def test_select_scales_eligibility():
                            "rgb/score/input_amax"}
     assert scales["rgb/conv4_1/input_amax"] == pytest.approx(8.0 / 127.0)
 
+    # min_pixels rule: convs whose calibrated input spatial extent is
+    # below the floor fall back to the float path (AdapNet's 48x24
+    # bottlenecks regressed int8, docs/TIMING.md); absent pixel metadata
+    # (hand-written scales dicts) keeps the conv eligible.
+    amax["rgb/conv4_1/input_pixels"] = 48 * 24
+    amax["rgb/score/input_pixels"] = 96 * 48
+    scales = quantize.select_scales(amax, variables, min_channels=128,
+                                    min_pixels=2048)
+    assert set(scales) == {"rgb/score/input_amax"}
+    assert "input_pixels" not in " ".join(scales)  # metadata never emitted
+
 
 @pytest.fixture(scope="module")
 def trained_fcn():
@@ -114,8 +125,11 @@ def test_quantized_serving_score_parity(trained_fcn):
     net, data = trained_fcn
     float_measures, _ = net.score(data.get_testset())
 
+    # toy 32x32 frames: every conv input is under the production
+    # min_pixels floor, so disable it (full-res eligibility is locked by
+    # test_select_scales_eligibility + the TIMING.md sweep)
     scales = net.quantize_for_serving(data.get_measureset(), num_batches=2,
-                                      min_channels=64)
+                                      min_channels=64, min_pixels=0)
     assert scales, "no convs were quantized"
     assert net.act_scales
     int8_measures, _ = net.score(data.get_testset())
@@ -151,7 +165,7 @@ def test_quantized_serving_preserves_distribution(trained_fcn):
         distribute(net, mesh)
         sharded, _ = net.score(data.get_testset())
         net.quantize_for_serving(data.get_measureset(), num_batches=1,
-                                 min_channels=64)
+                                 min_channels=64, min_pixels=0)
         assert net.act_scales
         q, _ = net.score(data.get_testset())
         # eval step still carries the mesh shardings
@@ -192,9 +206,10 @@ def test_calibration_percentile_clips_outliers():
         data_description=data.get_data_description(), prefix="rgb",
         modality="rgb", num_units=4, batchsize=2)
     s_max = model.quantize_for_serving(data.get_measureset(), num_batches=1,
-                                       min_channels=64)
+                                       min_channels=64, min_pixels=0)
     model.dequantize_serving()
     s_p99 = model.quantize_for_serving(data.get_measureset(), num_batches=1,
-                                       min_channels=64, percentile=99.0)
+                                       min_channels=64, percentile=99.0,
+                                       min_pixels=0)
     assert set(s_p99) == set(s_max)
     assert all(s_p99[k] <= s_max[k] + 1e-9 for k in s_max)
