@@ -200,7 +200,7 @@ def test_reference_layout_record_loads(record_storage):
     assert "rgb/conv1_1/kernel" in np.load(weights_path)
 
 
-def test_mongo_backend_loads(monkeypatch):
+def test_mongo_backend_loads(record_storage, monkeypatch):
     """The third ExperimentData backend (reference experiments/utils.py:
     61-78): a sacred MongoObserver run document + GridFS artifacts.
     pymongo is not in this image, so the backend is exercised against
