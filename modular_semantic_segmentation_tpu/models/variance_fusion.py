@@ -63,17 +63,28 @@ class VarianceFusion(FusionModel):
             # batch 1) get N-fold pixel parallelism.
             head = encoder_head(ctx, batch[m], prefix, trainable=False,
                                 batchnorm=False)
+            # classification prob comes from a clean pass
+            probs[m] = self._tail_prob(ctx, head, prefix, dropout=False)
+            if self.config["dropout_rate"] == 0 or num_samples < 2:
+                # At dropout 0 (or a single sample) the MC sampling
+                # distribution is a point mass: every stochastic pass IS
+                # the clean pass and the sample variance is exactly zero
+                # by definition. Running the batched tail here would
+                # instead measure XLA's ulp-scale per-batch-position
+                # reduction-order noise, which 1/(1e-20 + var) amplifies
+                # into arbitrary expert selection — so return the exact
+                # answer (zeros) without the redundant N-fold pass.
+                variances[m] = jnp.zeros(
+                    probs[m].shape[:-1] + (1,), probs[m].dtype)
+                continue
             tiled = {"pool3": jnp.concatenate(
                 [head["pool3"]] * num_samples, axis=0)}
             stacked = self._tail_prob(ctx, tiled, prefix, dropout=True)
             samples = stacked.reshape(
                 (num_samples, stacked.shape[0] // num_samples)
                 + stacked.shape[1:])
-            variance = jnp.mean(jnp.var(samples, axis=0), axis=3,
-                                keepdims=True)
-            # classification prob comes from a clean pass
-            probs[m] = self._tail_prob(ctx, head, prefix, dropout=False)
-            variances[m] = variance
+            variances[m] = jnp.mean(jnp.var(samples, axis=0), axis=3,
+                                    keepdims=True)
 
         norm_probs = {m: probs[m] / jnp.sum(probs[m], axis=3, keepdims=True)
                       for m in self.modalities}
