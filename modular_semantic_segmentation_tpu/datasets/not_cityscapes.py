@@ -3,7 +3,7 @@ Library objects onto Cityscapes frames; labels = in/out-of-distribution
 mask (reference xview/datasets/not_cityscapes.py)."""
 
 import tarfile
-from os import environ, path
+from os import environ, listdir, path
 
 import cv2
 import numpy as np
@@ -20,7 +20,13 @@ def _get_dataset(name):
         Cityscapes
     if name == "cityscapes":
         return Cityscapes
-    raise UserWarning(f"unsupported base dataset {name}")
+    # Generalization over the reference (which supports only cityscapes):
+    # any registered dataset with an 'rgb' modality can serve as the
+    # in-distribution base — used by the CI OOD-quality proof, which
+    # pastes novel objects onto the synthetic unittest corpus
+    # (tests/test_uncertainty_gain.py, docs/UNCERTAINTY.md).
+    from modular_semantic_segmentation_tpu.datasets import get_dataset
+    return get_dataset(name)
 
 
 class AddRandomObjects(DataBaseclass):
@@ -49,8 +55,22 @@ class AddRandomObjects(DataBaseclass):
                                         "amsterdam_lib.tar.gz")) as tar:
                 tar.extractall(path=environ["TMPDIR"])
             self.base_path = environ["TMPDIR"]
+
+        # Object pool: scan the library instead of hardcoding the
+        # Amsterdam range. On the full library this lists 251..1000 and
+        # _get_data excludes the LAST id — exactly reproducing the
+        # reference's np.random.randint(251, 1000) (and its quirk of
+        # preloading object 1000 it never samples, reference :52,:74);
+        # partial/synthetic libraries (CI) work with the same code path.
+        self._object_ids = sorted(
+            int(d) for d in listdir(self.base_path)
+            if d.isdigit() and path.exists(
+                path.join(self.base_path, d, f"{d}_c.png")))
+        if not self._object_ids:
+            raise IOError(1, "object library is empty", self.base_path)
+        if in_memory and "TMPDIR" in environ:
             self.objects = {num: self._load_object(num)
-                            for num in range(251, 1001)}
+                            for num in self._object_ids}
 
         DataBaseclass.__init__(
             self, self.base_dataset.trainset, self.base_dataset.measureset,
@@ -71,7 +91,8 @@ class AddRandomObjects(DataBaseclass):
     def _get_data(self, training_format=False, **kwargs):
         img = self.base_dataset._get_data(training_format=False,
                                           **kwargs)["rgb"]
-        num = np.random.randint(251, 1000)
+        pool = self._object_ids
+        num = pool[np.random.randint(max(1, len(pool) - 1))]
         if self.config["in_memory"] and hasattr(self, "objects"):
             obj = self.objects[num].copy()
         else:

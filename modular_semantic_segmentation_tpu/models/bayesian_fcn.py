@@ -58,7 +58,8 @@ class BayesianFCN(UncertaintyModel):
                                    if stochastic else 0),
                      dropout_layers=(self.config["dropout_layers"]
                                      if stochastic else ()),
-                     batchnorm=self.config["batch_normalization"])
+                     batchnorm=self.config["batch_normalization"],
+                     channel_factor=self.config.get("channel_factor", 1.0))
         return layers
 
     def _train_outputs(self, ctx, batch):
@@ -79,14 +80,16 @@ class BayesianFCN(UncertaintyModel):
         # mask per element, so this computes sample-for-sample what an
         # N-loop would, with N-fold pixel parallelism in the deep convs.
         head = encoder_head(ctx, batch[self.modality], self.prefix,
-                            batchnorm=cfg["batch_normalization"])
+                            batchnorm=cfg["batch_normalization"],
+                            channel_factor=cfg.get("channel_factor", 1.0))
         n = cfg["num_samples"]
         tail = encoder_tail(
             ctx, {"pool3": jnp.concatenate([head["pool3"]] * n, axis=0)},
             self.prefix, cfg["num_units"],
             dropout_rate=cfg["dropout_rate"],
             dropout_layers=cfg["dropout_layers"],
-            batchnorm=cfg["batch_normalization"])
+            batchnorm=cfg["batch_normalization"],
+            channel_factor=cfg.get("channel_factor", 1.0))
         dec = decoder(
             ctx, tail["fused"], self.prefix, cfg["num_units"],
             cfg["num_classes"], batchnorm=cfg["batch_normalization"],

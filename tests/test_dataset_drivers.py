@@ -158,6 +158,60 @@ def test_pascalvoc_driver(tmp_path):
     assert blob["labels"][40, 40] == 0
 
 
+@pytest.fixture()
+def object_library(tmp_path):
+    """Fake Amsterdam Object Library: {num}/{num}_c.png, bright uniform
+    12x12 squares (nothing darker than the (30,30,30) background cut,
+    reference not_cityscapes.py:90-95)."""
+    lib = tmp_path / "amsterdam_object_lib"
+    for num in (251, 252, 253):
+        os.makedirs(lib / str(num), exist_ok=True)
+        obj = np.full((12, 12, 3), (50, 200, 255), np.uint8)
+        cv2.imwrite(str(lib / str(num) / f"{num}_c.png"), obj)
+    return str(tmp_path)
+
+
+def test_add_random_objects_driver(cityscapes_tree, object_library,
+                                   monkeypatch):
+    """OOD benchmark driver (reference xview/datasets/not_cityscapes.py):
+    object paste geometry + the in(0)/out(1)-of-distribution mask."""
+    import modular_semantic_segmentation_tpu.datasets.not_cityscapes as nc
+    monkeypatch.setattr(nc, "DATA_BASEPATH", object_library)
+
+    data = nc.AddRandomObjects(add_to_dataset="cityscapes",
+                               base_path=cityscapes_tree,
+                               cities=["aachen", "bochum", "ulm"])
+    assert data._object_ids == [251, 252, 253]
+    assert data.labelinfo[1]["name"] == "out-of-distribution"
+
+    np.random.seed(4)
+    item = dict(data.testset[0])
+    blob = data._get_data(**item)
+    base_blob = data.base_dataset._get_data(training_format=False, **item)
+    labels, rgb = blob["labels"], blob["rgb"]
+    assert set(np.unique(labels)) == {0, 1}
+    # halfsize pastes a 6x6 uniform bright square: the OOD mask is exactly
+    # that square and nothing else
+    ys, xs = np.nonzero(labels)
+    assert labels.sum() == 36
+    assert ys.max() - ys.min() == 5 and xs.max() - xs.min() == 5
+    # in-distribution pixels are untouched base pixels; OOD pixels carry
+    # the object color, not the base image
+    np.testing.assert_array_equal(rgb[labels == 0],
+                                  base_blob["rgb"][labels == 0])
+    np.testing.assert_array_equal(
+        rgb[labels == 1], np.full((36, 3), (50, 200, 255), np.float32))
+
+    # generalization used by the CI OOD-quality proof: any registered
+    # dataset with an rgb modality can serve as the base
+    ood = nc.AddRandomObjects(add_to_dataset="unittest", halfsize=False,
+                              height=32, width=32, num_test=2)
+    blob = ood._get_data(**dict(ood.testset[0]))
+    assert blob["rgb"].shape == (32, 32, 3)
+    assert set(np.unique(blob["labels"])) <= {0, 1}
+    assert blob["labels"].sum() == 144  # full-size 12x12 square
+
+
 def test_mixed_data():
     from modular_semantic_segmentation_tpu.datasets import get_dataset
     from modular_semantic_segmentation_tpu.datasets.mixed_data import \

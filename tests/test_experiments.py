@@ -157,9 +157,9 @@ def test_training_resume_cli(storage, training_run):
     assert "2 iterations remaining" in result.stdout
 
 
-def test_bayes_fusion_cli(storage, training_run):
-    """fit_and_evaluate: expert scoring -> confusion matrices -> fusion."""
-    # train a depth expert (rgb expert = the fixture's run)
+@pytest.fixture(scope="module")
+def depth_run(storage, training_run):
+    """A depth expert run (rgb expert = the training_run fixture)."""
     _run_cli("experiments.training",
              ["with"] + TINY_DATASET.split() + [
                  "modelname=simple_fcn", "num_iterations=2",
@@ -168,15 +168,23 @@ def test_bayes_fusion_cli(storage, training_run):
                  "net_config.num_units=4", "net_config.batchsize=2",
                  "net_config.learning_rate=0.01"],
              storage)
-    depth_run = max(int(d) for d in
-                    os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
-                    if d.isdigit())
+    return max(int(d) for d in
+               os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+               if d.isdigit())
+
+
+EVAL_DATA = ["evaluation_data.dataset=unittest", "evaluation_data.height=32",
+             "evaluation_data.width=32", "evaluation_data.num_train=6",
+             "evaluation_data.num_measure=2", "evaluation_data.num_test=2"]
+
+
+@pytest.fixture(scope="module")
+def bayes_fusion_run(storage, training_run, depth_run):
+    """A completed bayes_fusion fit_and_evaluate run (used by the main
+    smoke and by collect_data, which replays a stored fitting run)."""
     result = _run_cli(
         "experiments.bayes_fusion",
-        ["with",
-         "evaluation_data.dataset=unittest", "evaluation_data.height=32",
-         "evaluation_data.width=32", "evaluation_data.num_train=6",
-         "evaluation_data.num_measure=2", "evaluation_data.num_test=2",
+        ["with"] + EVAL_DATA + [
          "net_config.num_units=4", "net_config.batchsize=2",
          "net_config.expert_model=fcn", "net_config.learning_rate=0.01",
          'net_config.prefixes={"rgb": "rgb", "depth": "depth"}',
@@ -184,6 +192,82 @@ def test_bayes_fusion_cli(storage, training_run):
          f'"depth": {depth_run}}}'],
         storage, timeout=1800)
     assert "Evaluated Bayes Fusion" in result.stdout
+    return max(int(d) for d in
+               os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+               if d.isdigit())
+
+
+def test_bayes_fusion_cli(storage, bayes_fusion_run):
+    """fit_and_evaluate: expert scoring -> confusion matrices -> fusion."""
+    info = json.load(open(os.path.join(
+        storage["EXPERIMENT_STORAGE_FOLDER"], str(bayes_fusion_run),
+        "info.json")))
+    assert set(info["measurements"]) == {"rgb", "depth", "fusion"}
+    assert set(info["confusion_matrices"]) == {"rgb", "depth"}
+
+
+def test_bayes_fusion_collect_data_cli(storage, bayes_fusion_run, tmp_path):
+    """collect_data: replays a stored fitting experiment and dumps
+    per-pixel fusion diagnostics (reference bayes_fusion.py:35-70)."""
+    out = str(tmp_path / "collected")
+    _run_cli("experiments.bayes_fusion",
+             ["collect_data", "with",
+              f"fitting_experiment={bayes_fusion_run}",
+              f"output_path={out}"], storage, timeout=1800)
+    dumped = {f: np.load(os.path.join(out, f))
+              for f in ("predictions.npz", "probs.npz", "likelihoods.npz")}
+    assert len(dumped["predictions.npz"].files) == 1
+    # one probs + one likelihood dump per expert
+    assert len(dumped["probs.npz"].files) == 2
+    assert len(dumped["likelihoods.npz"].files) == 2
+    pred = dumped["predictions.npz"]["arr_0"]
+    prob = dumped["probs.npz"]["arr_0"]
+    assert pred.shape == prob.shape[:3]
+
+
+def test_dirichlet_test_parameters_cli(storage, training_run, depth_run):
+    """test_parameters: the sigma/delta/beta grid reuses ONE sufficient
+    statistic across configs (reference dirichlet_fusion.py:18-52)."""
+    result = _run_cli(
+        "experiments.dirichlet_fusion",
+        ["test_parameters", "with"] + EVAL_DATA + [
+         "net_config.num_units=4", "net_config.batchsize=2",
+         "net_config.expert_model=fcn", "net_config.sigma=0.1",
+         'net_config.prefixes={"rgb": "rgb", "depth": "depth"}',
+         'search_parameters={"sigma": [0.1, 1.0]}',
+         f'starting_weights={{"rgb": {training_run}, '
+         f'"depth": {depth_run}}}'],
+        storage, timeout=1800)
+    del result
+    run_id = max(int(d) for d in
+                 os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+                 if d.isdigit())
+    info = json.load(open(os.path.join(
+        storage["EXPERIMENT_STORAGE_FOLDER"], str(run_id), "info.json")))
+    results = info["results"]
+    assert list(results["sigma"]) == [0.1, 1.0]
+    assert len(results["mean_IoU"]) == 2
+    assert all(0 <= v <= 1 for v in results["mean_IoU"])
+
+
+def test_evaluation_also_load_config_cli(storage, training_run):
+    """also_load_config: the net config is inherited from the training
+    record and merged with CLI overrides (reference evaluation.py:100-123)."""
+    result = _run_cli(
+        "experiments.evaluation",
+        ["also_load_config", "with",
+         "modelname=simple_fcn", f"starting_weights={training_run}",
+         "evaluation_data.dataset=unittest",
+         "evaluation_data.height=32", "evaluation_data.width=32",
+         "evaluation_data.num_test=2",
+         "net_config.batchsize=1"],  # CLI override on top of the record
+        storage, timeout=1800)
+    assert "Running with net_config" in result.stdout
+    # inherited from the training run's record...
+    assert "'num_units': 4" in result.stdout
+    # ...merged with the CLI override
+    assert "'batchsize': 1" in result.stdout
+    assert "total accuracy" in result.stdout
 
 
 def test_rerun_reproduces(storage, training_run):
@@ -338,6 +422,88 @@ def test_timing_cli_smoke(storage):
     info = json.load(open(os.path.join(
         storage["EXPERIMENT_STORAGE_FOLDER"], str(run_id), "info.json")))
     assert "pipelined_mean_s" in info["timings"]["rgb_fcn"]
+
+
+@pytest.fixture(scope="module")
+def mini_synthia_tree(tmp_path_factory):
+    """Pre-resized 64x96 frames for EVERY synthia sequence (the resized_*
+    layout Synthia._preprocessing produces — providing it directly skips
+    the 1280x760 preprocessing; that path has its own test in
+    test_synthia_sequence_drivers.py)."""
+    import cv2
+    from modular_semantic_segmentation_tpu.datasets.synthia import \
+        AVAILABLE_SEQUENCES
+    rng = np.random.RandomState(5)
+    base = tmp_path_factory.mktemp("synthia_all")
+    for seq in AVAILABLE_SEQUENCES:
+        seq_base = base / seq
+        names = ["000000", "000001", "000002"]
+        for name in names:
+            d = seq_base / "resized_rgb_F"
+            os.makedirs(d, exist_ok=True)
+            cv2.imwrite(str(d / f"{name}.png"),
+                        rng.randint(0, 255, (64, 96, 3)).astype(np.uint8))
+            d = seq_base / "resized_depth_F"
+            os.makedirs(d, exist_ok=True)
+            cv2.imwrite(str(d / f"{name}.png"),
+                        rng.randint(0, 5000, (64, 96)).astype(np.uint16))
+            d = seq_base / "resized_labels_F"
+            os.makedirs(d, exist_ok=True)
+            np.save(str(d / f"{name}.npy"),
+                    rng.randint(0, 14, (64, 96)).astype(np.uint8))
+        with open(seq_base / "train_test_split.json", "w") as f:
+            json.dump({"trainset": names[:1], "testset": names[1:]}, f)
+    return str(base)
+
+
+def test_evaluation_all_synthia_cli(storage, training_run,
+                                    mini_synthia_tree):
+    """all_synthia: per-sequence evaluation over every synthia sequence
+    (reference evaluation.py:42-55,126-134). Weights come from the
+    unittest training run: matching layers load, the 14-class score conv
+    is skipped with a warning (models/params.py import contract)."""
+    result = _run_cli(
+        "experiments.evaluation",
+        ["all_synthia", "with",
+         "modelname=simple_fcn", f"starting_weights={training_run}",
+         "evaluation_data.dataset=synthia",
+         f"evaluation_data.base_path={mini_synthia_tree}",
+         "net_config.prefix=rgb", "net_config.modality=rgb",
+         "net_config.num_units=4", "net_config.batchsize=2"],
+        storage, timeout=1800)
+    from modular_semantic_segmentation_tpu.datasets.synthia import \
+        AVAILABLE_SEQUENCES
+    for seq in AVAILABLE_SEQUENCES:
+        assert f"Evaluated network on {seq}" in result.stdout
+    run_id = max(int(d) for d in
+                 os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+                 if d.isdigit())
+    info = json.load(open(os.path.join(
+        storage["EXPERIMENT_STORAGE_FOLDER"], str(run_id), "info.json")))
+    assert set(info["measurements"]) == set(AVAILABLE_SEQUENCES)
+    assert all("mean_IoU" in m for m in info["measurements"].values())
+
+
+def test_progressive_cli_smoke(storage, training_run):
+    """train_and_evaluate_progressive rgb_to_depth: cross-modal kernel
+    surgery on the stored rgb expert, then a progressive depth column
+    with a frozen rgb lateral column trains and evaluates end to end
+    (reference train_and_evaluate_progressive.py:56-93)."""
+    result = _run_cli(
+        "experiments.train_and_evaluate_progressive",
+        ["rgb_to_depth", "with",
+         'starting_weights={"experiment_id": %d}' % training_run,
+         "num_iterations=2",
+         "data_config.dataset=unittest", "data_config.height=32",
+         "data_config.width=32", "data_config.num_train=6",
+         "data_config.num_measure=2", "data_config.num_test=2",
+         "net_config.prefix=depth", "net_config.modality=depth",
+         'net_config.lateral_columns={"rgb": "rgb"}',
+         "net_config.num_units=4", "net_config.batchsize=2",
+         "net_config.learning_rate=0.01"],
+        storage, timeout=1800)
+    assert "Training finished" in result.stdout
+    assert "Evaluated network" in result.stdout
 
 
 def test_ibcc_fusion_cli_smoke(storage, training_run, tmp_path):

@@ -86,17 +86,58 @@ def bayes_run(storage, experts):
 
 def test_bayes_fusion_beats_every_expert(storage, bayes_run):
     """The headline claim: Bayes fusion mIoU > each expert's mIoU on the
-    test set (reference bayes_fusion.py:118-159 flow)."""
+    test set (reference bayes_fusion.py:118-159 flow) — by a real MARGIN,
+    not a lucky ulp: the full-width probe shows +0.065..+0.14
+    (scripts/fusion_gain_probe.py), the CI operating point measured
+    +0.021 (docs/FUSION_GAIN.md), so a +0.01 bar keeps the lock robust
+    to XLA codegen drift without being loose."""
     measurements = _info(storage, bayes_run)["measurements"]
     fused = measurements["fusion"]["mean_IoU"]
     for expert in ("rgb", "depth"):
-        assert fused > measurements[expert]["mean_IoU"], (
+        assert fused > measurements[expert]["mean_IoU"] + 0.01, (
             f"Bayes fusion ({fused:.4f}) does not beat the {expert} expert "
-            f"({measurements[expert]['mean_IoU']:.4f})")
+            f"({measurements[expert]['mean_IoU']:.4f}) by the 0.01 margin")
     # the complementary corpus design actually bit: each expert is
     # measurably better than chance but below the fused result by a margin
     assert fused > 0.3
     print({k: round(v["mean_IoU"], 4) for k, v in measurements.items()})
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [7, 99])
+def test_bayes_fusion_gain_survives_reseeding(storage, seed):
+    """Multi-seed robustness of the fusion-gain claim (round-3 verdict
+    weak #6): retrain both experts with a DIFFERENT sacred seed and the
+    fused result still beats every expert. Together with the fixture run
+    (auto-generated seed) this covers 3 independent trainings."""
+    before = set(os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"]))
+    ids = {}
+    for modality in ("rgb", "depth"):
+        _run_cli("experiments.training",
+                 ["with", "dataset.name=unittest", f"seed={seed}"]
+                 + [f"dataset.{p}" for p in DATASET]
+                 + NET + [
+                     "modelname=simple_fcn", "num_iterations=400",
+                     "starting_weights=false",
+                     f"net_config.prefix={modality}",
+                     f"net_config.modality={modality}",
+                     "net_config.learning_rate=0.03"],
+                 storage)
+        ids[modality] = max(
+            int(d) for d in os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+            if d.isdigit() and d not in before)
+    _run_cli("experiments.bayes_fusion", FUSION_ARGS + [
+        f'starting_weights={{"rgb": {ids["rgb"]}, '
+        f'"depth": {ids["depth"]}}}'], storage)
+    run_id = max(int(d) for d in
+                 os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+                 if d.isdigit())
+    measurements = _info(storage, run_id)["measurements"]
+    fused = measurements["fusion"]["mean_IoU"]
+    for expert in ("rgb", "depth"):
+        assert fused > measurements[expert]["mean_IoU"], (
+            f"seed {seed}: fusion ({fused:.4f}) does not beat {expert} "
+            f"({measurements[expert]['mean_IoU']:.4f})")
 
 
 def test_dirichlet_fusion_beats_every_expert(storage, experts, bayes_run):

@@ -1,11 +1,17 @@
 """Pipelined serving API: parity with predict(), tail + order handling."""
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 
 from modular_semantic_segmentation_tpu.datasets import get_dataset
 from modular_semantic_segmentation_tpu.models import get_model
 from modular_semantic_segmentation_tpu.serving import (InferenceServer,
                                                        serve_frames)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _net_and_frames(num_frames=7):
@@ -71,3 +77,56 @@ def test_export_serving_roundtrip(tmp_path):
     served._variables["rgb/score/kernel"] = np.zeros_like(
         served._variables["rgb/score/kernel"])
     assert not np.array_equal(served.predict(full), want) or want.std() == 0
+
+
+def test_export_serving_int8_cross_process(tmp_path):
+    """The composition promised at serving.py:34-35,140-141:
+    quantize_for_serving BEFORE export_serving bakes the int8 path into
+    the AOT artifact. Locks (a) the exported int8 program differs from
+    the float export (the int8 branch is really in the program), (b) it
+    bit-matches the in-process int8 predict, and (c) a FRESH PROCESS
+    reloading only the artifact reproduces those outputs exactly."""
+    from modular_semantic_segmentation_tpu.serving import (ExportedServing,
+                                                           export_serving)
+
+    net, _, full = _net_and_frames(2)
+    data = get_dataset("unittest")(height=32, width=32, num_train=4,
+                                   num_measure=2, num_test=2)
+    float_art = export_serving(net, str(tmp_path / "float"), full,
+                               output_attr="prob")
+
+    scales = net.quantize_for_serving(data.get_measureset(), num_batches=1,
+                                      min_channels=64, min_pixels=0)
+    assert scales, "no convs were quantized"
+    want_prob = net.predict(full, output_attr="prob")
+    want_pred = net.predict(full)
+    int8_art = export_serving(net, str(tmp_path / "int8"), full,
+                              output_attr="prob")
+    export_serving(net, str(tmp_path / "int8_pred"), full)
+    net.dequantize_serving()
+
+    got = ExportedServing(int8_art).predict(full)
+    np.testing.assert_array_equal(got, np.asarray(want_prob))
+    # the int8 program is NOT the float program
+    assert not np.array_equal(ExportedServing(float_art).predict(full), got)
+
+    # fresh-process reload: only the artifact + jax, no model build
+    inputs_file = str(tmp_path / "inputs.npz")
+    out_file = str(tmp_path / "out.npy")
+    np.savez(inputs_file, **{k: np.asarray(v) for k, v in full.items()})
+    code = (
+        "import numpy as np\n"
+        "from modular_semantic_segmentation_tpu.serving import "
+        "ExportedServing\n"
+        f"batch = dict(np.load({inputs_file!r}))\n"
+        f"served = ExportedServing({str(tmp_path / 'int8_pred')!r})\n"
+        f"np.save({out_file!r}, served.predict(batch))\n"
+        "print('EXPORT_OK')\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    result = subprocess.run([sys.executable, "-c", code],
+                            capture_output=True, text=True, cwd=REPO,
+                            env=env, timeout=600)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "EXPORT_OK" in result.stdout
+    np.testing.assert_array_equal(np.load(out_file), np.asarray(want_pred))
