@@ -22,6 +22,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 REFERENCE_BAYES_FUSED_SPF = 0.0461  # GTX 1080 Ti, BASELINE.md Table V
+PEAK_BF16_TFLOPS = 197.0  # v5e chip peak, docs/TIMING.md roofline
+
+
+def conv_flops_per_expert(height=768, width=384):
+    """FLOPs of one expert's VGG16 encoder convs (2*9*Cin*Cout*H*W each;
+    the spec reproduces the per-segment GFLOP column of the TIMING.md
+    roofline — 180.4 GFLOP at 768x384). Decoder deconvs, 1x1 score convs
+    and the fusion contraction are excluded (traffic-bound, <2% of
+    FLOPs), so the derived MFU is a slight UNDER-estimate."""
+    specs = [(3, 64, 1), (64, 64, 1), (64, 128, 2), (128, 128, 2),
+             (128, 256, 4), (256, 256, 4), (256, 256, 4),
+             (256, 512, 8), (512, 512, 8), (512, 512, 8),
+             (512, 512, 16), (512, 512, 16), (512, 512, 16)]
+    return sum(2 * 9 * cin * cout * (height // s) * (width // s)
+               for cin, cout, s in specs)
 
 
 def build_flagship(height=768, width=384, num_classes=14, num_units=64,
@@ -115,18 +130,29 @@ def main():
     int8_headline = bool(os.environ.get("MSSTPU_BENCH_INT8"))
     ref_fps = 1.0 / REFERENCE_BAYES_FUSED_SPF
 
+    # MFU: conv FLOPs of the two-expert forward / wall time / chip peak
+    # (round-3 verdict item 8 — BENCH_r0N.json self-describes its
+    # distance from the ceiling; the TIMING.md roofline is the detail)
+    flops_per_frame = 2 * conv_flops_per_expert()
+
     result = {"metric": "bayes_fused_rgbd_fps_768x384_1chip",
-              "unit": "frames/s"}
+              "unit": "frames/s",
+              "flops_per_frame_g": round(flops_per_frame / 1e9, 1),
+              "peak_bf16_tflops": PEAK_BF16_TFLOPS}
     if not int8_headline:
         fps_bf16 = measure_throughput(net, batch, rng)
         result.update(value=round(fps_bf16, 2),
-                      vs_baseline=round(fps_bf16 / ref_fps, 2))
+                      vs_baseline=round(fps_bf16 / ref_fps, 2),
+                      mfu=round(fps_bf16 * flops_per_frame
+                                / (PEAK_BF16_TFLOPS * 1e12), 4))
     net.quantize_for_serving(batch, num_batches=1)
     fps_int8 = measure_throughput(net, batch, rng)
     if int8_headline:
         result["metric"] = "bayes_fused_rgbd_int8_fps_768x384_1chip"
         result.update(value=round(fps_int8, 2),
-                      vs_baseline=round(fps_int8 / ref_fps, 2))
+                      vs_baseline=round(fps_int8 / ref_fps, 2),
+                      mfu=round(fps_int8 * flops_per_frame
+                                / (PEAK_BF16_TFLOPS * 1e12), 4))
     else:
         result.update(int8_fps=round(fps_int8, 2),
                       int8_vs_baseline=round(fps_int8 / ref_fps, 2))

@@ -182,10 +182,19 @@ def measure(modelname, net_config, dataset, starting_weights,
 @ex.main
 def uncertainty_benchmark(modelname, net_config, dataset, starting_weights,
                           benchmark, uncertainty_metrics, _run):
-    """(reference uncertainty_eval.py:171-182)"""
+    """(reference uncertainty_eval.py:171-182)
+
+    ``dataset.num_classes`` overrides the class count like the `measure`
+    command: the out_of_distribution benchmark runs a model TRAINED on K
+    classes over an OOD dataset whose labels are the in(0)/out(1) mask
+    (datasets/not_cityscapes.py) — the model must be built with its
+    trained K, and the OOD scorer uses the labels only as a mask."""
     model = get_model(modelname)
     data_cls = get_dataset(dataset["name"])
-    with model(data_description=data_cls.get_data_description(),
+    data_description = list(data_cls.get_data_description())
+    if "num_classes" in dataset:
+        data_description[2] = dataset["num_classes"]
+    with model(data_description=tuple(data_description),
                **net_config) as net:
         params = {k: v for k, v in dataset.items() if k != "name"}
         data = data_cls(**params)
