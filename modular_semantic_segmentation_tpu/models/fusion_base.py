@@ -15,7 +15,8 @@ from modular_semantic_segmentation_tpu.models.adapnet import adapnet
 
 
 def test_pipeline(ctx, inputs, prefix, expert_model, num_units, num_classes,
-                  batch_normalization=False, channel_factor=1.0, **_):
+                  batch_normalization=False, channel_factor=1.0,
+                  stem_layers=None, **_):
     """Unified expert pipeline: FCN or AdapNet, frozen, + softmax 'prob' and
     argmax 'classification' (reference basic_fusion_model.py:9-23).
 
@@ -24,13 +25,16 @@ def test_pipeline(ctx, inputs, prefix, expert_model, num_units, num_classes,
     experts TRAINED with batch norm transfer bit-exactly into the fusion
     (eval-mode BN uses the imported moving statistics). The reference could
     not fuse BN-trained experts at all; its own timing.py:29 carries a
-    'TODO make sure this does not use batchnorm' wart."""
+    'TODO make sure this does not use batchnorm' wart.
+
+    ``stem_layers``: precomputed conv1_1..conv2_1 layers from the
+    cross-expert packed stem (models/packed_experts.py), FCN only."""
     if expert_model == "adapnet":
         outputs = adapnet(ctx, inputs, prefix, num_units, num_classes)
     elif expert_model == "fcn":
         outputs = fcn(ctx, inputs, prefix, num_units, num_classes,
                       trainable=False, batchnorm=batch_normalization,
-                      channel_factor=channel_factor)
+                      channel_factor=channel_factor, stem_layers=stem_layers)
     else:
         raise UserWarning(f"ERROR: Expert Model {expert_model} not found")
     outputs["prob"] = ll.softmax(outputs["score"])
@@ -39,6 +43,24 @@ def test_pipeline(ctx, inputs, prefix, expert_model, num_units, num_classes,
     # dead-code-eliminated in fusions that only use classifications (Bayes)
     outputs["classification"] = outputs["score"].argmax(-1)
     return outputs
+
+
+def expert_pipelines(ctx, batch, modalities, config):
+    """Per-modality expert outputs, cross-expert-packing the FCN stems
+    when eligible (models/packed_experts.py: the lane-starved
+    conv1_1..conv2_1 stacks of all experts run as one block-diagonal
+    dense stack, 1.17x on the v5e; ``pack_experts=False`` disables)."""
+    from modular_semantic_segmentation_tpu.models.packed_experts import (
+        can_pack_stems, packed_fcn_stems)
+    stems = {}
+    if can_pack_stems(ctx, batch, modalities, config):
+        stems = packed_fcn_stems(
+            ctx, batch, modalities, config["prefixes"],
+            channel_factor=config.get("channel_factor", 1.0),
+            batch_normalization=config.get("batch_normalization", False))
+    return {m: test_pipeline(ctx, batch[m], config["prefixes"][m],
+                             stem_layers=stems.get(m), **config)
+            for m in modalities}
 
 
 class FusionModel(Estimator):
@@ -61,10 +83,8 @@ class FusionModel(Estimator):
         raise NotImplementedError
 
     def _test_outputs(self, ctx, batch):
-        expert_outputs = {
-            m: test_pipeline(ctx, batch[m], self.config["prefixes"][m],
-                             **self.config)
-            for m in self.modalities}
+        expert_outputs = expert_pipelines(ctx, batch, self.modalities,
+                                          self.config)
         out = self._fusion(expert_outputs)
         # expose per-expert diagnostics for predict(output_attr=...)
         for m in self.modalities:

@@ -17,19 +17,17 @@ from modular_semantic_segmentation_tpu.ops.losses import cross_entropy
 from modular_semantic_segmentation_tpu.models.estimator import Estimator
 
 
-def encoder_head(ctx, inputs, prefix, dropout_rate=0.0, trainable=True,
-                 batchnorm=True, dropout_layers=(), channel_factor=1.0):
-    """conv1_1 .. pool3 — the encoder up to (exclusive of) the first
-    dropout site. With the reference's dropout placements (pool3/pool4/
-    conv4_3/conv5_3, simple_fcn.py:49-78) this prefix is DETERMINISTIC,
-    so MC-dropout samplers compute it once and fan out stochastic tails
-    (see VarianceFusion).
+def encoder_stem(ctx, inputs, prefix, trainable=True, batchnorm=True,
+                 channel_factor=1.0):
+    """conv1_1 .. conv2_1 — the full/half-resolution thin-channel stem.
 
-    ``channel_factor`` scales every VGG16 conv width (64..512) by a
-    constant; 1.0 (the default) is the reference architecture. Sub-1
-    factors give proportionally cheaper experts for single-core CI and
-    small synthetic corpora (tests/test_fusion_gain.py) without touching
-    the layer topology."""
+    Split out of :func:`encoder_head` so fusion models can replace it with
+    the cross-expert block-diagonally packed stem
+    (models/packed_experts.py): at 64 channels the MXU runs half its
+    vector lanes idle (docs/TIMING.md roofline), and running all experts'
+    stems as one dense 2x-wide conv stack recovers ~0.3 ms/frame at the
+    benchmark shape. Layer names and numerics are identical to the
+    original inline body."""
     params = {"trainable": trainable, "batch_normalization": batchnorm,
               "activation": jax.nn.relu}
     c = lambda w: max(1, int(w * channel_factor))  # noqa: E731
@@ -41,6 +39,35 @@ def encoder_head(ctx, inputs, prefix, dropout_rate=0.0, trainable=True,
         l["pool1"] = ll.max_pool2d(ctx, l["conv1_2"], 2, 2)
         l["conv2_1"] = ll.conv2d(ctx, l["pool1"], c(128), 3, "conv2_1",
                                  **params)
+    return l
+
+
+def encoder_head(ctx, inputs, prefix, dropout_rate=0.0, trainable=True,
+                 batchnorm=True, dropout_layers=(), channel_factor=1.0,
+                 stem_layers=None):
+    """conv1_1 .. pool3 — the encoder up to (exclusive of) the first
+    dropout site. With the reference's dropout placements (pool3/pool4/
+    conv4_3/conv5_3, simple_fcn.py:49-78) this prefix is DETERMINISTIC,
+    so MC-dropout samplers compute it once and fan out stochastic tails
+    (see VarianceFusion).
+
+    ``channel_factor`` scales every VGG16 conv width (64..512) by a
+    constant; 1.0 (the default) is the reference architecture. Sub-1
+    factors give proportionally cheaper experts for single-core CI and
+    small synthetic corpora (tests/test_fusion_gain.py) without touching
+    the layer topology.
+
+    ``stem_layers``: optional precomputed conv1_1..conv2_1 layer dict
+    (the cross-expert packed stem, models/packed_experts.py); when given
+    the stem is not rebuilt."""
+    params = {"trainable": trainable, "batch_normalization": batchnorm,
+              "activation": jax.nn.relu}
+    c = lambda w: max(1, int(w * channel_factor))  # noqa: E731
+    l = (dict(stem_layers) if stem_layers is not None
+         else encoder_stem(ctx, inputs, prefix, trainable=trainable,
+                           batchnorm=batchnorm,
+                           channel_factor=channel_factor))
+    with ctx.scope(prefix):
         l["conv2_2"] = ll.conv2d(ctx, l["conv2_1"], c(128), 3, "conv2_2",
                                  **params)
         l["pool2"] = ll.max_pool2d(ctx, l["conv2_2"], 2, 2)
@@ -110,7 +137,8 @@ def encoder_tail(ctx, l, prefix, num_units, dropout_rate=0.0, trainable=True,
 
 
 def encoder(ctx, inputs, prefix, num_units, dropout_rate=0.0, trainable=True,
-            batchnorm=True, dropout_layers=(), channel_factor=1.0):
+            batchnorm=True, dropout_layers=(), channel_factor=1.0,
+            stem_layers=None):
     """VGG16 image encoder with fusion of conv4_3 and conv5_3 features
     (reference simple_fcn.py:10-87). Returns dict of layer outputs; the
     encoding has key 'fused'. Composed of :func:`encoder_head` (the
@@ -119,7 +147,7 @@ def encoder(ctx, inputs, prefix, num_units, dropout_rate=0.0, trainable=True,
     l = encoder_head(ctx, inputs, prefix, dropout_rate=dropout_rate,
                      trainable=trainable, batchnorm=batchnorm,
                      dropout_layers=dropout_layers,
-                     channel_factor=channel_factor)
+                     channel_factor=channel_factor, stem_layers=stem_layers)
     return encoder_tail(ctx, l, prefix, num_units, dropout_rate=dropout_rate,
                         trainable=trainable, batchnorm=batchnorm,
                         dropout_layers=dropout_layers,
@@ -145,12 +173,12 @@ def decoder(ctx, features, prefix, num_units, num_classes, trainable=True,
 
 def fcn(ctx, inputs, prefix, num_units, num_classes, trainable=True,
         dropout_rate=0, dropout_layers=(), batchnorm=True,
-        channel_factor=1.0):
+        channel_factor=1.0, stem_layers=None):
     """Full FCN: encoder + decoder (reference simple_fcn.py:137-170)."""
     layers = encoder(ctx, inputs, prefix, num_units,
                      dropout_rate=dropout_rate, trainable=trainable,
                      batchnorm=batchnorm, dropout_layers=dropout_layers,
-                     channel_factor=channel_factor)
+                     channel_factor=channel_factor, stem_layers=stem_layers)
     layers.update(decoder(
         ctx, layers["fused"], prefix, num_units, num_classes,
         trainable=trainable, batchnorm=batchnorm,
