@@ -457,9 +457,20 @@ class Estimator:
         else:
             amax = q.calibrate_amax(self, data, num_batches=num_batches,
                                     percentile=percentile)
+            # fusion models whose FCN stems run cross-expert-packed
+            # (models/packed_experts.py) get their stem convs judged at
+            # the packed width — int8-eligible where the per-expert
+            # 64-ch convs are not
+            prefixes = self.config.get("prefixes")
+            packed_prefixes = (
+                list(prefixes.values())
+                if isinstance(prefixes, dict) and len(prefixes) >= 2
+                and self.config.get("expert_model") == "fcn"
+                and self.config.get("pack_experts", True) else None)
             scales = q.select_scales(amax, self.variables,
                                      min_channels=min_channels,
-                                     min_pixels=min_pixels)
+                                     min_pixels=min_pixels,
+                                     packed_stem_prefixes=packed_prefixes)
         if not scales:
             print("WARNING: quantize_for_serving found no eligible conv "
                   f"(>= {min_channels} input channels and >= {min_pixels} "

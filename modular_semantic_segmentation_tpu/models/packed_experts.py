@@ -52,10 +52,12 @@ def can_pack_stems(ctx, batch, modalities, config):
     Requirements: >=2 FCN experts on the same spatial grid with thin
     (<=4-channel) inputs — the conv1_1 im2col fast path's own gate.
     Falls back to the plain per-expert build under spatial sharding (the
-    packed convs don't exchange row halos), during PTQ calibration (so
-    the recorded amax keys match the unpacked scopes exactly), and if a
-    stem conv somehow holds an int8 serving scale (with the default
-    >=128-input-channel eligibility rule none ever does)."""
+    packed convs don't exchange row halos) and during PTQ calibration
+    (so the recorded amax keys match the unpacked scopes exactly). int8
+    serving scales on stem convs are CONSUMED, not a fallback: when
+    quantize.select_scales judged the packed widths eligible, conv1_2/
+    conv2_1 run the int8 recipe with per-expert input scales (see
+    :func:`_packed_int8_conv`)."""
     if not config.get("pack_experts", True):
         return False
     if config.get("expert_model") != "fcn":
@@ -69,13 +71,38 @@ def can_pack_stems(ctx, batch, modalities, config):
         return False
     if any(int(batch[m].shape[-1]) > 4 for m in modalities):
         return False
-    if ctx.act_scales:
-        prefixes = config["prefixes"]
-        for m in modalities:
-            for name in STEM_CONVS:
-                if f"{prefixes[m]}/{name}/input_amax" in ctx.act_scales:
-                    return False
     return True
+
+
+def _packed_int8_conv(x, kernel, scales, in_widths, out_widths, dtype):
+    """int8 conv of a BLOCK-DIAGONAL kernel with PER-EXPERT input scales.
+
+    A shared per-tensor activation scale across packed experts fails
+    hard: rgb activations (0..255-scale inputs) dwarf depth's, so the
+    depth half would quantize to ~zero (measured 0.99 rel err,
+    scripts/int8_stem_probe.py). Per-input-channel scales normally don't
+    commute through a dense conv — every output sums inputs with mixed
+    scales — but a block-diagonal kernel routes input block e only to
+    output block e, so quantizing each expert's channels with its own
+    scale and dequantizing per OUTPUT channel with (input-block scale x
+    per-channel weight scale) is exact int8 arithmetic at per-expert
+    granularity. Same epilogue contract as the per-expert int8 path in
+    ops/layers.conv2d: returns the float32 dequantized accumulator.
+    """
+    ascale_in = jnp.concatenate(
+        [jnp.full((w,), s, jnp.float32) for s, w in zip(scales, in_widths)])
+    ascale_out = jnp.concatenate(
+        [jnp.full((w,), s, jnp.float32) for s, w in zip(scales, out_widths)])
+    kscale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
+                         1e-12) / 127.0
+    kq = jnp.clip(jnp.round(kernel / kscale), -127, 127).astype(jnp.int8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ascale_in),
+                  -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (ascale_out * kscale)
 
 
 def packed_fcn_stems(ctx, batch, modalities, prefixes, channel_factor=1.0,
@@ -191,12 +218,26 @@ def packed_fcn_stems(ctx, batch, modalities, prefixes, channel_factor=1.0,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=dtype)
 
+    def stem_conv(x, name, cout, out_w):
+        """Block-diagonal stem conv; int8 when the serving scales carry
+        ALL experts' calibrated amax for this layer (quantize.
+        select_scales judged the packed width eligible and enforced
+        all-or-none), bf16/f32 otherwise."""
+        kernel = block_diag(kernels(name, {m: c64 for m in modalities},
+                                    cout))
+        keys = [f"{prefixes[m]}/{name}/input_amax" for m in modalities]
+        if ctx.act_scales and all(k in ctx.act_scales for k in keys):
+            out = _packed_int8_conv(
+                x, kernel, [jnp.float32(ctx.act_scales[k]) for k in keys],
+                [c64] * E, [out_w] * E, dtype)
+        else:
+            out = conv(x, kernel)
+        return epilogue(out, name, [out_w] * E)
+
     # ---- conv1_2 (dense ExC64 block-diagonal), pool1, conv2_1
-    k12 = block_diag(kernels("conv1_2", {m: c64 for m in modalities}, c64))
-    c12 = epilogue(conv(c11, k12), "conv1_2", [c64] * E)
+    c12 = stem_conv(c11, "conv1_2", c64, c64)
     pl1 = ll.max_pool2d(ctx, c12, 2, 2)
-    k21 = block_diag(kernels("conv2_1", {m: c64 for m in modalities}, c128))
-    c21 = epilogue(conv(pl1, k21), "conv2_1", [c128] * E)
+    c21 = stem_conv(pl1, "conv2_1", c128, c128)
 
     stems = {}
     for i, m in enumerate(modalities):

@@ -72,7 +72,13 @@ def calibrate_amax(net, data, num_batches=8, percentile=100.0):
     return running
 
 
-def select_scales(amax, variables, min_channels=128, min_pixels=2048):
+#: stem convs the cross-expert packed stack can run in int8
+#: (models/packed_experts.py; conv1_1's thin im2col matmul stays bf16)
+PACKED_STEM_CONVS = ("conv1_2", "conv2_1")
+
+
+def select_scales(amax, variables, min_channels=128, min_pixels=2048,
+                  packed_stem_prefixes=None):
     """Turn calibrated amaxes into activation scales for eligible convs.
 
     Eligibility:
@@ -85,8 +91,29 @@ def select_scales(amax, variables, min_channels=128, min_pixels=2048):
         residual junctions cost more than the int8 matmuls save. This is
         what regressed AdapNet (1x1 bottlenecks at 48x24 = 1152
         positions) before round 3; measured sweep in docs/TIMING.md.
+
+    ``packed_stem_prefixes``: expert name prefixes whose FCN stems will
+    execute cross-expert-packed (models/packed_experts.py). Their
+    conv1_2/conv2_1 layers are judged at the PACKED width — the summed
+    input channels across experts — because that is the conv that will
+    actually run (two 64-ch experts pack to 128-in, int8-eligible;
+    measured 1.18x on the stem, scripts/int8_stem_probe.py). A packed
+    stem conv goes int8 only if EVERY expert's scale qualifies (the
+    packed kernel is one op; per-expert input scales keep quantization
+    granularity — see packed_experts._packed_int8_conv).
     """
     scales = {}
+    packed_stem_prefixes = list(packed_stem_prefixes or ())
+
+    def packed_in_channels(name):
+        total = 0
+        for prefix in packed_stem_prefixes:
+            kernel = variables.get(f"{prefix}/{name}/kernel")
+            if kernel is None:
+                return 0
+            total += int(kernel.shape[2])
+        return total
+
     for key, value in amax.items():
         if not key.endswith("/input_amax"):
             continue
@@ -94,7 +121,11 @@ def select_scales(amax, variables, min_channels=128, min_pixels=2048):
         kernel = variables.get(scope + "/kernel")
         if kernel is None or kernel.ndim != 4:
             continue
-        if int(kernel.shape[2]) < min_channels:
+        in_ch = int(kernel.shape[2])
+        prefix, _, name = scope.rpartition("/")
+        if prefix in packed_stem_prefixes and name in PACKED_STEM_CONVS:
+            in_ch = packed_in_channels(name)
+        if in_ch < min_channels:
             continue
         pixels = amax.get(scope + "/input_pixels")
         if pixels is not None and pixels < min_pixels:
@@ -102,4 +133,11 @@ def select_scales(amax, variables, min_channels=128, min_pixels=2048):
         if value <= 0.0 or not np.isfinite(value):
             continue
         scales[key] = value / 127.0
+    # all-or-none per packed stem conv: the packed op can only quantize a
+    # layer when every expert's input scale survived the filters above
+    for name in PACKED_STEM_CONVS:
+        keys = [f"{p}/{name}/input_amax" for p in packed_stem_prefixes]
+        if keys and not all(k in scales for k in keys):
+            for k in keys:
+                scales.pop(k, None)
     return scales

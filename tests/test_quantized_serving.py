@@ -213,3 +213,90 @@ def test_calibration_percentile_clips_outliers():
                                        min_pixels=0)
     assert set(s_p99) == set(s_max)
     assert all(s_p99[k] <= s_max[k] + 1e-9 for k in s_max)
+
+
+def test_select_scales_packed_stem_widths():
+    """Cross-expert packed stems (models/packed_experts.py) are judged at
+    the PACKED input width: two 64-ch experts pack conv1_2 to 128-in —
+    int8-eligible where the per-expert convs are not — and a packed stem
+    conv quantizes all-or-none across experts (the packed kernel is one
+    op with per-expert input scales)."""
+    z = jnp.zeros
+    variables = {
+        "rgb/conv1_2/kernel": z((3, 3, 64, 64)),
+        "depth/conv1_2/kernel": z((3, 3, 64, 64)),
+        "rgb/conv2_1/kernel": z((3, 3, 64, 128)),
+        "depth/conv2_1/kernel": z((3, 3, 64, 128)),
+    }
+    amax = {
+        "rgb/conv1_2/input_amax": 4.0,
+        "depth/conv1_2/input_amax": 0.5,
+        "rgb/conv2_1/input_amax": 2.0,
+        "depth/conv2_1/input_amax": 0.25,
+    }
+    # without the packed hint nothing qualifies at the production floor
+    assert quantize.select_scales(dict(amax), variables,
+                                  min_channels=128) == {}
+    # with it, every stem conv of every expert gets its own scale
+    scales = quantize.select_scales(
+        dict(amax), variables, min_channels=128,
+        packed_stem_prefixes=("rgb", "depth"))
+    assert set(scales) == set(amax)
+    assert scales["depth/conv1_2/input_amax"] == pytest.approx(0.5 / 127.0)
+    # all-or-none: losing one expert's calibration drops the LAYER, not
+    # the other layers
+    partial = dict(amax)
+    del partial["depth/conv2_1/input_amax"]
+    scales = quantize.select_scales(
+        partial, variables, min_channels=128,
+        packed_stem_prefixes=("rgb", "depth"))
+    assert set(scales) == {"rgb/conv1_2/input_amax",
+                           "depth/conv1_2/input_amax"}
+
+
+@pytest.mark.slow
+def test_packed_stem_int8_fusion_parity(tmp_path):
+    """End-to-end: a Bayes fusion with packed stems quantizes its
+    conv1_2/conv2_1 through the packed int8 path (per-expert input
+    scales) and keeps score parity with the float path."""
+    from modular_semantic_segmentation_tpu.datasets import get_dataset
+    data = get_dataset("unittest")(height=32, width=32, num_train=8,
+                                   num_measure=4, num_test=3)
+    weights, cms = {}, {}
+    for modality in ["rgb", "depth"]:
+        expert = get_model("simple_fcn")(
+            prefix=modality, modality=modality, num_units=4,
+            data_description=data.get_data_description(), batchsize=2,
+            learning_rate=0.02, batch_normalization=False)
+        expert.fit(data.get_trainset(), 3)
+        weights[modality] = expert.export_weights(save_dir=str(tmp_path))
+        _, cms[modality] = expert.score(data.get_measureset())
+        expert.close()
+
+    net = get_model("bayes_mix")(
+        data_description=data.get_data_description(),
+        confusion_matrices=cms, num_units=4, expert_model="fcn",
+        prefixes={"rgb": "rgb", "depth": "depth"}, batchsize=2)
+    for filepath in weights.values():
+        net.import_weights(filepath, warnings=False)
+
+    float_measures, _ = net.score(data.get_testset())
+    # min_channels at the production 128: only the PACKED widths qualify
+    scales = net.quantize_for_serving(data.get_measureset(), num_batches=2,
+                                      min_channels=128, min_pixels=0)
+    for prefix in ("rgb", "depth"):
+        assert f"{prefix}/conv1_2/input_amax" in scales
+        assert f"{prefix}/conv2_1/input_amax" in scales
+    # nothing else qualifies at 32x32 with min_channels=128 except the
+    # 128-in conv2_2 and deeper convs; the stem keys above are the point
+    int8_measures, _ = net.score(data.get_testset())
+    assert abs(int8_measures["total_accuracy"]
+               - float_measures["total_accuracy"]) < 0.03
+    assert abs(int8_measures["mean_IoU"]
+               - float_measures["mean_IoU"]) < 0.05
+
+    net.dequantize_serving()
+    back, _ = net.score(data.get_testset())
+    np.testing.assert_allclose(back["mean_IoU"],
+                               float_measures["mean_IoU"], rtol=1e-6)
+    net.close()
