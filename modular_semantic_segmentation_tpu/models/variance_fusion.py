@@ -45,8 +45,18 @@ class VarianceFusion(FusionModel):
         return ll.softmax(dec["score"])
 
     def _test_outputs(self, ctx, batch):
+        from modular_semantic_segmentation_tpu.models.packed_experts import (
+            can_pack_stems, packed_fcn_stems)
         probs, variances = {}, {}
         num_samples = self.config["num_samples"]
+        # the deterministic heads pack across experts like every other
+        # FCN fusion (models/packed_experts.py); the stochastic tails
+        # start at pool3, untouched
+        stems = {}
+        if can_pack_stems(ctx, batch, self.modalities, self.config):
+            stems = packed_fcn_stems(ctx, batch, self.modalities,
+                                     self.config["prefixes"],
+                                     batch_normalization=False)
         for m in self.modalities:
             prefix = self.config["prefixes"][m]
             # The dropout sites are pool3/pool4 (reference
@@ -62,7 +72,7 @@ class VarianceFusion(FusionModel):
             # tail's deep 96x48/48x24 convs (which underfeed the MXU at
             # batch 1) get N-fold pixel parallelism.
             head = encoder_head(ctx, batch[m], prefix, trainable=False,
-                                batchnorm=False)
+                                batchnorm=False, stem_layers=stems.get(m))
             # classification prob comes from a clean pass
             probs[m] = self._tail_prob(ctx, head, prefix, dropout=False)
             if self.config["dropout_rate"] == 0 or num_samples < 2:
