@@ -130,3 +130,30 @@ def test_export_serving_int8_cross_process(tmp_path):
     assert result.returncode == 0, result.stderr[-2000:]
     assert "EXPORT_OK" in result.stdout
     np.testing.assert_array_equal(np.load(out_file), np.asarray(want_pred))
+
+
+def test_export_serving_packed_fusion_roundtrip(tmp_path):
+    """The cross-expert packed stem (models/packed_experts.py — in-graph
+    block-diagonal kernel assembly, lane-aligned splits) exports through
+    jax.export like any XLA program: a Bayes fusion AOT artifact
+    reproduces net.predict without the model class."""
+    from modular_semantic_segmentation_tpu.serving import (ExportedServing,
+                                                           export_serving)
+
+    data = get_dataset("unittest")(height=32, width=32, num_train=4,
+                                   num_measure=2, num_test=2)
+    rng = np.random.RandomState(0)
+    K = data.get_data_description()[2]
+    cms = {m: rng.rand(K, K) + np.eye(K) * 5 for m in ("rgb", "depth")}
+    net = get_model("bayes_mix")(
+        data_description=data.get_data_description(),
+        confusion_matrices=cms, num_units=4, expert_model="fcn",
+        prefixes={"rgb": "rgb", "depth": "depth"}, batchsize=2)
+    batch = next(data.get_testset().batches(2))
+    full = {"rgb": np.asarray(batch["rgb"]),
+            "depth": np.asarray(batch["depth"])}
+    want = net.predict(full)
+    art = export_serving(net, str(tmp_path / "fusion"), full)
+    got = ExportedServing(art).predict(full)
+    np.testing.assert_array_equal(got, want)
+    net.close()
