@@ -74,7 +74,7 @@ def can_pack_stems(ctx, batch, modalities, config):
     return True
 
 
-def _packed_int8_conv(x, kernel, scales, in_widths, out_widths, dtype):
+def _packed_int8_conv(x, kernel, scales, in_widths, out_widths):
     """int8 conv of a BLOCK-DIAGONAL kernel with PER-EXPERT input scales.
 
     A shared per-tensor activation scale across packed experts fails
@@ -229,7 +229,7 @@ def packed_fcn_stems(ctx, batch, modalities, prefixes, channel_factor=1.0,
         if ctx.act_scales and all(k in ctx.act_scales for k in keys):
             out = _packed_int8_conv(
                 x, kernel, [jnp.float32(ctx.act_scales[k]) for k in keys],
-                [c64] * E, [out_w] * E, dtype)
+                [c64] * E, [out_w] * E)
         else:
             out = conv(x, kernel)
         return epilogue(out, name, [out_w] * E)
