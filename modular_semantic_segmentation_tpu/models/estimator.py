@@ -54,6 +54,12 @@ def _make_optimizer(name, learning_rate):
 class Estimator:
     """Base class for all models. See module docstring."""
 
+    #: whether this class's _test_outputs routes FCN expert stems through
+    #: the cross-expert packed stack (models/packed_experts.py) when
+    #: eligible — quantize_for_serving only judges stem convs at the
+    #: packed width for classes that will actually run the packed op
+    packs_expert_stems = False
+
     def __init__(self, data_description, name=None, output_dir=None,
                  custom_training=False, batchsize=1, compute_dtype="float32",
                  **config):
@@ -460,11 +466,15 @@ class Estimator:
             # fusion models whose FCN stems run cross-expert-packed
             # (models/packed_experts.py) get their stem convs judged at
             # the packed width — int8-eligible where the per-expert
-            # 64-ch convs are not
+            # 64-ch convs are not. Gated on packs_expert_stems so
+            # classes whose _test_outputs never packs (FusionFCN,
+            # UncertaintyDirichletFusion) are never judged packed;
+            # select_scales mirrors the remaining batch-shape gates.
             prefixes = self.config.get("prefixes")
             packed_prefixes = (
                 list(prefixes.values())
-                if isinstance(prefixes, dict) and len(prefixes) >= 2
+                if self.packs_expert_stems
+                and isinstance(prefixes, dict) and len(prefixes) >= 2
                 and self.config.get("expert_model") == "fcn"
                 and self.config.get("pack_experts", True) else None)
             scales = q.select_scales(amax, self.variables,

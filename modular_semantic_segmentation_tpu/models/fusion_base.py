@@ -71,6 +71,9 @@ class FusionModel(Estimator):
         expert_model: 'fcn' | 'adapnet'.
     """
 
+    # _test_outputs -> expert_pipelines packs eligible FCN stems
+    packs_expert_stems = True
+
     def __init__(self, name=None, output_dir=None, **config):
         self.modalities = list(config["prefixes"].keys())
         Estimator.__init__(self, data_description=config.pop(

@@ -55,9 +55,11 @@ def can_pack_stems(ctx, batch, modalities, config):
     packed convs don't exchange row halos) and during PTQ calibration
     (so the recorded amax keys match the unpacked scopes exactly). int8
     serving scales on stem convs are CONSUMED, not a fallback: when
-    quantize.select_scales judged the packed widths eligible, conv1_2/
+    quantize.select_scales judged the packed widths eligible it emits
+    them under ``packed:`` keys only this module reads, and conv1_2/
     conv2_1 run the int8 recipe with per-expert input scales (see
-    :func:`_packed_int8_conv`)."""
+    :func:`_packed_int8_conv`); on any unpacked fallback the stems run
+    bf16 — never per-tensor int8 at 64-in."""
     if not config.get("pack_experts", True):
         return False
     if config.get("expert_model") != "fcn":
@@ -225,7 +227,12 @@ def packed_fcn_stems(ctx, batch, modalities, prefixes, channel_factor=1.0,
         all-or-none), bf16/f32 otherwise."""
         kernel = block_diag(kernels(name, {m: c64 for m in modalities},
                                     cout))
-        keys = [f"{prefixes[m]}/{name}/input_amax" for m in modalities]
+        # scales live in the packed: namespace — emitted by quantize.
+        # select_scales ONLY for packed-width-judged stem convs, and
+        # consumed ONLY here, so the unpacked conv2d path can never pick
+        # up a packed-width scale for a 64-in conv it would run slowly
+        keys = [f"packed:{prefixes[m]}/{name}/input_amax"
+                for m in modalities]
         if ctx.act_scales and all(k in ctx.act_scales for k in keys):
             out = _packed_int8_conv(
                 x, kernel, [jnp.float32(ctx.act_scales[k]) for k in keys],

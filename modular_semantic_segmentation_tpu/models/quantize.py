@@ -100,10 +100,36 @@ def select_scales(amax, variables, min_channels=128, min_pixels=2048,
     measured 1.18x on the stem, scripts/int8_stem_probe.py). A packed
     stem conv goes int8 only if EVERY expert's scale qualifies (the
     packed kernel is one op; per-expert input scales keep quantization
-    granularity — see packed_experts._packed_int8_conv).
+    granularity — see packed_experts._packed_int8_conv). Packed-stem
+    scales are emitted under ``packed:<scope>/input_amax`` keys: only
+    the packed stem op consumes that namespace, so if serving ends up
+    on the unpacked path (spatial sharding, a model that doesn't pack)
+    the 64-in stem convs run bf16 as the width rule intends — they can
+    never silently pick up a packed-width int8 scale. The config-level
+    packing conditions the caller can't see from a batch are mirrored
+    here from the variables/calibration record: every prefix's conv1_1
+    must take a thin (<= 4 channel) input and all experts must share
+    one calibrated input grid (can_pack_stems' own gates).
     """
     scales = {}
     packed_stem_prefixes = list(packed_stem_prefixes or ())
+
+    def packing_applies():
+        """Mirror can_pack_stems' batch-shape gates from stored state."""
+        if len(packed_stem_prefixes) < 2:
+            return False
+        grids = set()
+        for prefix in packed_stem_prefixes:
+            kernel = variables.get(f"{prefix}/conv1_1/kernel")
+            if kernel is None or int(kernel.shape[2]) > 4:
+                return False
+            pixels = amax.get(f"{prefix}/conv1_1/input_pixels")
+            if pixels is not None:
+                grids.add(float(pixels))
+        return len(grids) <= 1
+
+    if not packing_applies():
+        packed_stem_prefixes = []
 
     def packed_in_channels(name):
         total = 0
@@ -123,7 +149,8 @@ def select_scales(amax, variables, min_channels=128, min_pixels=2048,
             continue
         in_ch = int(kernel.shape[2])
         prefix, _, name = scope.rpartition("/")
-        if prefix in packed_stem_prefixes and name in PACKED_STEM_CONVS:
+        packed = prefix in packed_stem_prefixes and name in PACKED_STEM_CONVS
+        if packed:
             in_ch = packed_in_channels(name)
         if in_ch < min_channels:
             continue
@@ -132,11 +159,12 @@ def select_scales(amax, variables, min_channels=128, min_pixels=2048,
             continue
         if value <= 0.0 or not np.isfinite(value):
             continue
-        scales[key] = value / 127.0
+        scales[("packed:" + key) if packed else key] = value / 127.0
     # all-or-none per packed stem conv: the packed op can only quantize a
     # layer when every expert's input scale survived the filters above
     for name in PACKED_STEM_CONVS:
-        keys = [f"{p}/{name}/input_amax" for p in packed_stem_prefixes]
+        keys = [f"packed:{p}/{name}/input_amax"
+                for p in packed_stem_prefixes]
         if keys and not all(k in scales for k in keys):
             for k in keys:
                 scales.pop(k, None)

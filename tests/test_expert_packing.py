@@ -8,8 +8,12 @@ the forward (docs/TIMING.md roofline) and the packed stack measures
 - packed == unpacked predictions and probabilities, with weights shared
   through the npz contract and eval-mode batch norm running on perturbed
   moving statistics (the BN affine is packed too);
-- the packed init creates the IDENTICAL variable set (names, shapes,
-  values given the same seed path) — weight import/export is untouched;
+- the packed init creates the IDENTICAL variable set (names, shapes) —
+  weight import/export is untouched. Fresh-init VALUES can differ
+  between the two builds (initializers consume a sequential rng split
+  in creation order, and packed discovery creates variables in a
+  different order), which is why the parity tests share weights through
+  the npz contract instead of relying on seeds;
 - E-ary packing with ragged per-expert input channel counts (3 experts:
   3, 1 and 1 channels).
 

@@ -220,9 +220,13 @@ def test_select_scales_packed_stem_widths():
     the PACKED input width: two 64-ch experts pack conv1_2 to 128-in —
     int8-eligible where the per-expert convs are not — and a packed stem
     conv quantizes all-or-none across experts (the packed kernel is one
-    op with per-expert input scales)."""
+    op with per-expert input scales). Packed scales land in the
+    ``packed:`` namespace only the packed stem op reads, so an unpacked
+    serving path can never run a 64-in stem conv int8."""
     z = jnp.zeros
     variables = {
+        "rgb/conv1_1/kernel": z((3, 3, 3, 64)),
+        "depth/conv1_1/kernel": z((3, 3, 1, 64)),
         "rgb/conv1_2/kernel": z((3, 3, 64, 64)),
         "depth/conv1_2/kernel": z((3, 3, 64, 64)),
         "rgb/conv2_1/kernel": z((3, 3, 64, 128)),
@@ -237,12 +241,14 @@ def test_select_scales_packed_stem_widths():
     # without the packed hint nothing qualifies at the production floor
     assert quantize.select_scales(dict(amax), variables,
                                   min_channels=128) == {}
-    # with it, every stem conv of every expert gets its own scale
+    # with it, every stem conv of every expert gets its own scale —
+    # emitted under packed: keys (consumed only by packed_fcn_stems)
     scales = quantize.select_scales(
         dict(amax), variables, min_channels=128,
         packed_stem_prefixes=("rgb", "depth"))
-    assert set(scales) == set(amax)
-    assert scales["depth/conv1_2/input_amax"] == pytest.approx(0.5 / 127.0)
+    assert set(scales) == {"packed:" + k for k in amax}
+    assert scales["packed:depth/conv1_2/input_amax"] == pytest.approx(
+        0.5 / 127.0)
     # all-or-none: losing one expert's calibration drops the LAYER, not
     # the other layers
     partial = dict(amax)
@@ -250,8 +256,24 @@ def test_select_scales_packed_stem_widths():
     scales = quantize.select_scales(
         partial, variables, min_channels=128,
         packed_stem_prefixes=("rgb", "depth"))
-    assert set(scales) == {"rgb/conv1_2/input_amax",
-                           "depth/conv1_2/input_amax"}
+    assert set(scales) == {"packed:rgb/conv1_2/input_amax",
+                           "packed:depth/conv1_2/input_amax"}
+    # batch-shape gates mirrored from can_pack_stems: a wide (>4 channel)
+    # expert input can't pack, so the packed hint is ignored and nothing
+    # qualifies at the packed width
+    wide = dict(variables)
+    wide["depth/conv1_1/kernel"] = z((3, 3, 8, 64))
+    assert quantize.select_scales(
+        dict(amax), wide, min_channels=128,
+        packed_stem_prefixes=("rgb", "depth")) == {}
+    # ... and so does a grid mismatch between the experts' calibrated
+    # conv1_1 inputs
+    mismatched = dict(amax)
+    mismatched["rgb/conv1_1/input_pixels"] = 768 * 384
+    mismatched["depth/conv1_1/input_pixels"] = 384 * 192
+    assert quantize.select_scales(
+        mismatched, variables, min_channels=128,
+        packed_stem_prefixes=("rgb", "depth")) == {}
 
 
 @pytest.mark.slow
@@ -285,8 +307,8 @@ def test_packed_stem_int8_fusion_parity(tmp_path):
     scales = net.quantize_for_serving(data.get_measureset(), num_batches=2,
                                       min_channels=128, min_pixels=0)
     for prefix in ("rgb", "depth"):
-        assert f"{prefix}/conv1_2/input_amax" in scales
-        assert f"{prefix}/conv2_1/input_amax" in scales
+        assert f"packed:{prefix}/conv1_2/input_amax" in scales
+        assert f"packed:{prefix}/conv2_1/input_amax" in scales
     # nothing else qualifies at 32x32 with min_channels=128 except the
     # 128-in conv2_2 and deeper convs; the stem keys above are the point
     int8_measures, _ = net.score(data.get_testset())
