@@ -60,6 +60,14 @@ class Estimator:
     #: packed width for classes that will actually run the packed op
     packs_expert_stems = False
 
+    #: default min_pixels for quantize_for_serving. The spatial floor
+    #: exists for AdapNet (1x1 bottlenecks at 48x24 regress int8 —
+    #: docs/TIMING.md); VGG/FCN-family models override to 0 because their
+    #: smallest-spatial convs (the 512-in conv5 block + score_conv5 at
+    #: 48x24) MEASURE as int8 wins: 3.73 -> 3.65 ms/frame on the fused
+    #: Bayes flagship (scripts/int8_decoder_probe.py, round 5)
+    ptq_min_pixels = 2048
+
     def __init__(self, data_description, name=None, output_dir=None,
                  custom_training=False, batchsize=1, compute_dtype="float32",
                  **config):
@@ -442,7 +450,7 @@ class Estimator:
 
     # ---------------------------------------------------------- quantization
     def quantize_for_serving(self, data, num_batches=8, min_channels=128,
-                             percentile=100.0, min_pixels=2048):
+                             percentile=100.0, min_pixels=None):
         """Enable int8 post-training-quantized inference (models/quantize.py).
 
         Calibrates per-conv activation scales on a few batches of ``data``
@@ -450,13 +458,18 @@ class Estimator:
         then switches eligible convs (>= ``min_channels`` input channels
         AND >= ``min_pixels`` input positions — small-spatial convs lose
         to bf16, see quantize.select_scales) to the int8 MXU path for all
-        subsequent predict/score calls. Training and weight IO are
+        subsequent predict/score calls. ``min_pixels=None`` uses the
+        model family's measured default (``ptq_min_pixels``: 0 for the
+        VGG/FCN family whose small-spatial convs win int8, 2048 for
+        AdapNet whose bottlenecks regress). Training and weight IO are
         unaffected. To re-enable without recalibration, pass a previously
         returned scales dict AS ``data``. Returns the scales dict (empty
         + a warning if no conv qualifies — serving then stays on the
         float path).
         """
         from modular_semantic_segmentation_tpu.models import quantize as q
+        if min_pixels is None:
+            min_pixels = self.ptq_min_pixels
         if isinstance(data, dict) and all(
                 isinstance(v, float) for v in data.values()):
             scales = data

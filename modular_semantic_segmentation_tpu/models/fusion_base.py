@@ -74,6 +74,13 @@ class FusionModel(Estimator):
     # _test_outputs -> expert_pipelines packs eligible FCN stems
     packs_expert_stems = True
 
+    @property
+    def ptq_min_pixels(self):
+        """PTQ spatial floor by expert family: FCN's small-spatial convs
+        win int8 (floor 0), AdapNet's bottlenecks regress (floor 2048) —
+        see Estimator.ptq_min_pixels."""
+        return 0 if self.config.get("expert_model") == "fcn" else 2048
+
     def __init__(self, name=None, output_dir=None, **config):
         self.modalities = list(config["prefixes"].keys())
         Estimator.__init__(self, data_description=config.pop(

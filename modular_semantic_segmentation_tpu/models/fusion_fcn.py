@@ -50,6 +50,8 @@ class FusionFCN(Estimator):
     Config: prefixes {modality: prefix}, num_units, num_classes; default
     trainer rmsprop (reference fusion_fcn.py:45)."""
 
+    ptq_min_pixels = 0  # VGG16 experts: see SimpleFCN.ptq_min_pixels
+
     def __init__(self, data_description=None, output_dir=None, **config):
         standard_config = {"trainer": "rmsprop", "learning_rate": 0.0001}
         standard_config.update(config)

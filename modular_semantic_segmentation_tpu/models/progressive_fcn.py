@@ -65,6 +65,8 @@ class ProgressiveFCN(Estimator):
             initialize_half_zero) forwarded to adap_conv.
     """
 
+    ptq_min_pixels = 0  # VGG16 stack: see SimpleFCN.ptq_min_pixels
+
     def __init__(self, data_description, prefix=None, output_dir=None,
                  **config):
         standard_config = {"batch_normalization": False,

@@ -158,7 +158,14 @@ def decoder(ctx, features, prefix, num_units, num_classes, trainable=True,
             batchnorm=True, dropout_rate=None):
     """FCN feature decoder (reference simple_fcn.py:90-134): frozen
     16x16/stride-8 bilinear upsampling + 1x1 class score conv (no activation
-    before the softmax)."""
+    before the softmax).
+
+    Keep this pair as two ops: fusing them in phase-channel form (score
+    conv before the depth-to-space interleave) measured 2.3x faster in
+    ISOLATION but +0.8 ms in-model — any score matmul consuming the
+    un-interleaved phase tensor regresses the full forward, however the
+    contraction is written (scripts/fused_decoder_inmodel_probe.py,
+    docs/TIMING.md round-5 rejection)."""
     with ctx.scope(prefix):
         if dropout_rate is not None:
             features = ll.dropout(ctx, features, dropout_rate)
@@ -197,6 +204,11 @@ class SimpleFCN(Estimator):
         num_units: feature units in the FCN.
         batch_normalization, dropout_rate, train_encoder: see reference.
     """
+
+    # VGG16 stack: every small-spatial conv (conv5 block, score_conv5 at
+    # 48x24) measures as an int8 WIN — no pixel floor needed (estimator
+    # ptq_min_pixels doc; scripts/int8_decoder_probe.py)
+    ptq_min_pixels = 0
 
     def __init__(self, prefix, data_description, modality, output_dir=None,
                  **config):

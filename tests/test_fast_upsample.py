@@ -197,3 +197,4 @@ def test_deconv2d_uses_fast_path_and_stays_exact():
         dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
                                rtol=1e-5, atol=1e-5)
+

@@ -322,3 +322,32 @@ def test_packed_stem_int8_fusion_parity(tmp_path):
     np.testing.assert_allclose(back["mean_IoU"],
                                float_measures["mean_IoU"], rtol=1e-6)
     net.close()
+
+
+def test_ptq_min_pixels_family_defaults():
+    """The PTQ spatial floor is a model-family decision, measured on the
+    v5e (scripts/int8_decoder_probe.py round 5): the VGG/FCN family's
+    small-spatial convs (conv5 block + score_conv5 at 48x24, 512-in) WIN
+    int8 — floor 0 — while AdapNet's 1x1 bottlenecks at the same pixel
+    count regress — floor 2048. Fusion models resolve by expert family."""
+    from modular_semantic_segmentation_tpu.models.adapnet import Adapnet
+    from modular_semantic_segmentation_tpu.models.simple_fcn import SimpleFCN
+    from modular_semantic_segmentation_tpu.models.estimator import Estimator
+
+    assert Estimator.ptq_min_pixels == 2048
+    assert SimpleFCN.ptq_min_pixels == 0
+    assert Adapnet.ptq_min_pixels == 2048
+
+    num_classes = 4
+    dd = ({"labels": np.int32, "rgb": np.float32, "depth": np.float32},
+          {"rgb": (None, None, 3), "depth": (None, None, 1),
+           "labels": (None, None)}, num_classes)
+    rng = np.random.RandomState(0)
+    cms = {m: rng.rand(num_classes, num_classes) + np.eye(num_classes)
+           for m in ("rgb", "depth")}
+    for expert_model, want in [("fcn", 0), ("adapnet", 2048)]:
+        net = get_model("bayes_mix")(
+            data_description=dd, confusion_matrices=cms, num_units=2,
+            expert_model=expert_model,
+            prefixes={"rgb": "rgb", "depth": "depth"}, batchsize=1)
+        assert net.ptq_min_pixels == want, expert_model
