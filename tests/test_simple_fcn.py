@@ -267,7 +267,12 @@ def test_compact_uint8_transfer_matches_float(data):
                                   np.asarray(out_u8["confusion_matrix"]))
 
 
+@pytest.mark.slow
 def test_bf16_training_converges_like_f32(data):
+    # slow tier: the single most expensive fast-tier test (255 s — a
+    # 150-step convergence trajectory). The bf16 numerics themselves are
+    # locked by the fast-tier goldens + BN-f32 tests; this long-horizon
+    # redundancy check moved tiers in round 5 (verdict item 6).
     """bf16 training tracks f32 training on the unittest task (round-1
     verdict weak #7 / next-round item 8): with BN statistics forced to
     float32 (ops/layers.py batch_norm), a bf16-compute model trained from
