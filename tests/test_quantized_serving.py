@@ -355,3 +355,40 @@ def test_ptq_min_pixels_family_defaults():
     # second full model build
     net.config["expert_model"] = "adapnet"
     assert net.ptq_min_pixels == 2048
+
+
+@pytest.mark.slow
+def test_variance_fusion_int8_mc_parity(tmp_path):
+    """The MC-dropout fusion path quantizes too (docs/TIMING.md round-5
+    row: 59.3 -> 66.4 fps): calibration's running-max survives the
+    re-entered conv scopes of the stochastic tails, and int8 scoring
+    stays within tolerance of float — under ACTIVE dropout, so both
+    paths sample; the lock is on aggregate quality, not bit equality."""
+    from modular_semantic_segmentation_tpu.datasets import get_dataset
+    data = get_dataset("unittest")(height=32, width=32, num_train=8,
+                                   num_measure=4, num_test=4)
+    weights = {}
+    for modality in ["rgb", "depth"]:
+        expert = get_model("simple_fcn")(
+            prefix=modality, modality=modality, num_units=4,
+            data_description=data.get_data_description(), batchsize=2,
+            learning_rate=0.02, batch_normalization=False)
+        expert.fit(data.get_trainset(), 5)
+        weights[modality] = expert.export_weights(save_dir=str(tmp_path))
+        expert.close()
+
+    net = get_model("variance")(
+        data_description=data.get_data_description(), num_units=4,
+        expert_model="fcn", prefixes={"rgb": "rgb", "depth": "depth"},
+        batchsize=2, num_samples=6, dropout_rate=0.2)
+    for filepath in weights.values():
+        net.import_weights(filepath, warnings=False)
+
+    float_measures, _ = net.score(data.get_testset())
+    scales = net.quantize_for_serving(data.get_measureset(), num_batches=2,
+                                      min_channels=64, min_pixels=0)
+    assert scales, "no convs quantized on the MC path"
+    int8_measures, _ = net.score(data.get_testset())
+    assert abs(int8_measures["total_accuracy"]
+               - float_measures["total_accuracy"]) < 0.06
+    net.dequantize_serving()
