@@ -323,6 +323,8 @@ def main():
     result["wall_attempts"] = walls["bf16"]["attempts"]
     result["wall_gated_out"] = [m for m in walls if walls[m]["gated"]]
     result["dispatch_probe_ms"] = walls["bf16"]["dispatch_probe_ms"]
+    result["device"] = jax.devices()[0].device_kind
+    result["jax_version"] = jax.__version__
     print(json.dumps(result))
 
 
