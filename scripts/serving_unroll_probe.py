@@ -45,20 +45,13 @@ def prepare(net, batch, rng, unroll):
     return run, compile_s
 
 
-def wall(run, unroll, floor, rounds=5, window_s=2.0, spacing_s=6.0):
+def wall(run, unroll, floor, window_s=2.0):
+    """One >=window_s wall window (bench.wall_window discipline)."""
     calls = max(4, int(np.ceil(window_s / (floor * unroll))))
-    best = float("inf")
-    samples = []
-    for r in range(rounds):
-        start = time.perf_counter()
-        outs = [run(i) for i in range(calls)]
-        np.asarray(outs[-1][-1])
-        spf = (time.perf_counter() - start) / (calls * unroll)
-        samples.append(1.0 / spf)
-        best = min(best, spf)
-        if r < rounds - 1:
-            time.sleep(spacing_s)
-    return best, sorted(samples, reverse=True)
+    start = time.perf_counter()
+    outs = [run(i) for i in range(calls)]
+    np.asarray(outs[-1][-1])
+    return (time.perf_counter() - start) / (calls * unroll)
 
 
 def main():
@@ -79,21 +72,17 @@ def main():
 
     print(f"floors: bf16 {floors['bf16']*1e3:.2f} ms  "
           f"int8 {floors['int8']*1e3:.2f} ms")
-    rows = []
     # interleave the four configs round-robin so one tunnel period cannot
     # favor a config (same defense as bench.measure_walls)
     results = {k: [] for k in modes}
     for _ in range(5):
-        for key, (run, _) in modes.items():
-            dtype, unroll = key
-            spf, _ = wall(run, unroll, floors[dtype], rounds=1)
-            results[key].append(spf)
+        for (dtype, unroll), (run, _) in modes.items():
+            results[(dtype, unroll)].append(
+                wall(run, unroll, floors[dtype]))
         time.sleep(6.0)
-    for key, (run, compile_s) in modes.items():
-        dtype, unroll = key
-        spfs = results[key]
+    for (dtype, unroll), (run, compile_s) in modes.items():
+        spfs = results[(dtype, unroll)]
         fps = sorted((1.0 / s for s in spfs), reverse=True)
-        rows.append((dtype, unroll, min(spfs), fps, compile_s))
         print(f"{dtype} unroll={unroll}: best {min(spfs)*1e3:.3f} ms/frame "
               f"({1.0/min(spfs):.1f} fps), windows {[round(f,1) for f in fps]}, "
               f"overhead vs floor {(min(spfs)-floors[dtype])*1e3:.3f} ms, "
