@@ -42,6 +42,16 @@ def build_models():
 
     rng = np.random.RandomState(0)
     models = {}
+    # single experts consume only their own modality from the shared
+    # rgb+depth batch (inputs are device-resident, so the unused key
+    # costs nothing per dispatch)
+    models["rgb_fcn"] = get_model("simple_fcn")(
+        prefix="rgb", modality="rgb", num_units=UNITS,
+        data_description=description(), compute_dtype="bfloat16",
+        batch_normalization=False)
+    models["adapnet"] = get_model("adapnet")(
+        prefix="rgb", modality="rgb", num_units=UNITS,
+        data_description=description(), compute_dtype="bfloat16")
     models["average"] = get_model("average")(**fusion_config())
     params = {m: rng.rand(K, K).astype("float32") + 1
               for m in ("rgb", "depth")}
