@@ -8,7 +8,8 @@ Bayes only; this probe measures the same serving-loop discipline for the
 rest of the family so every mode has a production number: device floor
 (loop-difference timer) + interleaved scalar-bound wall windows.
 
-Run exclusively: python scripts/pipelined_sweep_probe.py
+Run exclusively: python scripts/pipelined_sweep_probe.py [--int8]
+(--int8 quantizes each model for serving first — the int8 family table.)
 """
 
 import sys
@@ -75,9 +76,12 @@ def main():
              "depth": np.ones((1, HEIGHT, WIDTH, 1), np.float32)}
     models = build_models()
 
+    int8 = "--int8" in sys.argv
     runs, floors = {}, {}
     for name, net in models.items():
         t0 = time.perf_counter()
+        if int8:
+            net.quantize_for_serving(batch, num_batches=1)
         floors[name] = bench.measure_device_floor(net, batch, rng)
         runs[name] = bench.prepare_serving(net, batch, rng)
         print(f"{name}: floor {floors[name]*1e3:.2f} ms/frame, prepared in "
