@@ -392,3 +392,35 @@ def test_variance_fusion_int8_mc_parity(tmp_path):
     assert abs(int8_measures["total_accuracy"]
                - float_measures["total_accuracy"]) < 0.06
     net.dequantize_serving()
+
+
+def test_fusion_fcn_int8_score_parity():
+    """FusionFCN overrides _test_outputs without expert-stem packing
+    (advisor round-4 note), so its int8 path must quantize BOTH
+    modality encoders plus the fused score convs per-tensor — never
+    under the packed: namespace — and keep scoring parity (backs the
+    269.2 fps int8 serving row, docs/TIMING.md round-5 family table)."""
+    from modular_semantic_segmentation_tpu.datasets import get_dataset
+    data = get_dataset("unittest")(height=32, width=32, num_train=8,
+                                   num_measure=4, num_test=4)
+    net = get_model("fusion_fcn")(
+        data_description=data.get_data_description(),
+        prefixes={"rgb": "rgb", "depth": "depth"}, num_units=4,
+        batchsize=2, learning_rate=0.01)
+    net.fit(data.get_trainset(), 5)
+
+    float_measures, _ = net.score(data.get_testset())
+    scales = net.quantize_for_serving(data.get_measureset(), num_batches=2,
+                                      min_channels=4, min_pixels=0)
+    assert any(k.startswith("rgb_") for k in scales)
+    assert any(k.startswith("depth_") for k in scales)
+    assert any(k.startswith("fused_score_conv") for k in scales)
+    assert not any(k.startswith("packed:") for k in scales)
+    int8_measures, _ = net.score(data.get_testset())
+    assert abs(int8_measures["total_accuracy"]
+               - float_measures["total_accuracy"]) < 0.06
+
+    net.dequantize_serving()
+    restored, _ = net.score(data.get_testset())
+    assert restored["total_accuracy"] == float_measures["total_accuracy"]
+    net.close()
