@@ -239,6 +239,84 @@ def time_adapnet(_run, num_units=None, num_classes=None, repetitions=None,
                                                cfg))
 
 
+def _serving_builders():
+    """model name -> (build(cfg) -> net, modalities). Constructions mirror
+    the per-call commands above exactly."""
+    def dirichlet(cfg):
+        k = cfg["num_classes"]
+        rng = np.random.RandomState(0)
+        params = {m: rng.rand(k, k).astype("float32") + 1
+                  for m in ("rgb", "depth")}
+        params["class_counts"] = np.ones(k, "float32")
+        return get_model("dirichlet_mix")(**_fusion_config(
+            cfg, dirichlet_params=params, sigma=0.2))
+
+    def adapnet(cfg):
+        kwargs = _expert_config(cfg, "rgb")
+        del kwargs["batch_normalization"]
+        return get_model("adapnet")(**kwargs)
+
+    both = ["rgb", "depth"]
+    return {
+        "rgb_fcn": (lambda cfg: get_model("simple_fcn")(
+            **_expert_config(cfg, "rgb")), ["rgb"]),
+        "depth_fcn": (lambda cfg: get_model("simple_fcn")(
+            **_expert_config(cfg, "depth")), ["depth"]),
+        "adapnet": (adapnet, ["rgb"]),
+        "average_fcn": (lambda cfg: get_model("average")(
+            **_fusion_config(cfg)), both),
+        "bayes_fcn": (lambda cfg: get_model("bayes_mix")(**_fusion_config(
+            cfg, confusion_matrices=_random_cms(cfg["num_classes"]))), both),
+        "dirichlet_fcn": (dirichlet, both),
+        "fusion_fcn": (lambda cfg: get_model("fusion_fcn")(
+            data_description=_description(cfg["num_classes"]),
+            prefixes={"rgb": "rgb", "depth": "depth"},
+            num_units=cfg["num_units"],
+            compute_dtype=cfg["compute_dtype"]), both),
+        "variance_fcn": (lambda cfg: get_model("variance")(**_fusion_config(
+            cfg, num_samples=cfg["num_samples"],
+            dropout_rate=cfg["dropout_rate"])), both),
+    }
+
+
+@ex.command
+def time_serving(_run, model="bayes_fcn", unroll=4, num_units=None,
+                 num_classes=None, repetitions=None, compute_dtype=None,
+                 int8=None, height=None, width=None):
+    """Production serving-loop timing: the InferenceServer unroll-N group
+    program (N batch-1 frames per jitted dispatch, async in flight) for
+    any timed model. The per-call commands above pay one dispatch per
+    frame — the reference's semantics (timing.py:63-78) — which on a
+    tunneled host adds ~0.9 ms/frame; this is the number a deployment
+    actually serves at (docs/TIMING.md round-5 family tables).
+    `with model=fusion_fcn int8=True unroll=4` etc."""
+    import jax
+    from modular_semantic_segmentation_tpu.serving import InferenceServer
+    from modular_semantic_segmentation_tpu.utils.profiling import time_fn
+
+    cfg = _cfg(dict(num_units=num_units, num_classes=num_classes,
+                    repetitions=repetitions, compute_dtype=compute_dtype,
+                    int8=int8, height=height, width=width))
+    build, modalities = _serving_builders()[model]
+    net = build(cfg)
+    batch = _inputs(modalities, cfg)
+    if cfg["int8"]:
+        net.quantize_for_serving(batch, num_batches=1)
+    program = InferenceServer(net, unroll=unroll).group_program
+    variables = {k: jax.device_put(v) for k, v in net.variables.items()}
+    group = [{k: jax.device_put(v) for k, v in batch.items()}
+             for _ in range(unroll)]
+    result = time_fn(program, variables, group, jax.random.PRNGKey(0),
+                     repetitions=max(1, cfg["repetitions"] // unroll))
+    per_frame = result["pipelined_mean_s"] / unroll
+    result = dict(result, serving_s_per_frame=float(per_frame),
+                  serving_fps=float(1.0 / per_frame), unroll=unroll)
+    print(f"{net.name} serving (unroll={unroll}): {per_frame:.4f} s/frame "
+          f"({1.0 / per_frame:.1f} fps)")
+    _record(_run, f"serving_{model}" + ("_int8" if cfg["int8"] else ""),
+            result)
+
+
 @ex.command
 def time_train_step(_run, num_units=None, num_classes=None,
                     repetitions=None, compute_dtype=None, batchsize=1,

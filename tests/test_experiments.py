@@ -424,6 +424,29 @@ def test_timing_cli_smoke(storage):
     assert "pipelined_mean_s" in info["timings"]["rgb_fcn"]
 
 
+def test_timing_serving_cli_smoke(storage):
+    """experiments.timing time_serving: the production serving-loop
+    command (InferenceServer unroll-N group program) builds, runs and
+    records per-frame serving numbers for a named model."""
+    result = _run_cli(
+        "experiments.timing",
+        ["time_serving", "with", "model=fusion_fcn", "unroll=2",
+         "num_units=2", "num_classes=3", "repetitions=4",
+         "height=64", "width=64"],
+        storage, timeout=1200)
+    assert "serving (unroll=2)" in result.stdout
+    run_id = max(int(d) for d in
+                 os.listdir(storage["EXPERIMENT_STORAGE_FOLDER"])
+                 if d.isdigit())
+    info = json.load(open(os.path.join(
+        storage["EXPERIMENT_STORAGE_FOLDER"], str(run_id), "info.json")))
+    row = info["timings"]["serving_fusion_fcn"]
+    assert row["unroll"] == 2
+    assert row["serving_s_per_frame"] > 0
+    assert row["serving_fps"] == pytest.approx(
+        1.0 / row["serving_s_per_frame"])
+
+
 @pytest.fixture(scope="module")
 def mini_synthia_tree(tmp_path_factory):
     """Pre-resized 64x96 frames for EVERY synthia sequence (the resized_*
