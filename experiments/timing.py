@@ -267,6 +267,10 @@ def _serving_builders():
             **_fusion_config(cfg)), both),
         "bayes_fcn": (lambda cfg: get_model("bayes_mix")(**_fusion_config(
             cfg, confusion_matrices=_random_cms(cfg["num_classes"]))), both),
+        "bayes_adapnet": (lambda cfg: get_model("bayes_mix")(
+            **_fusion_config(
+                cfg, confusion_matrices=_random_cms(cfg["num_classes"]),
+                expert_model="adapnet")), both),
         "dirichlet_fcn": (dirichlet, both),
         "fusion_fcn": (lambda cfg: get_model("fusion_fcn")(
             data_description=_description(cfg["num_classes"]),
